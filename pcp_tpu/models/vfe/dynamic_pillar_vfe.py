@@ -1,0 +1,149 @@
+"""Dynamic pillar VFE — TPU-native (padded points -> dense pillar grid).
+
+Re-design of the reference ``DynamicPillarVFE`` / ``PFNLayerV2``
+(/root/reference/pcdet/models/backbones_3d/vfe/dynamic_pillar_vfe.py:14-147).
+The reference compacts pillars with ``torch.unique`` and pools with
+torch_scatter; here the dense 512x512 BEV grid *is* the segment space:
+
+  points (B, N, C) --MLP (MXU)--> per-point features --scatter-max--> (B, P, C)
+
+so the VFE emits the scattered pillar image directly and the downstream
+``PointPillarScatter`` is a reshape. Feature assembly matches the reference
+bit-for-bit in ordering: [raw features | f_cluster | f_center] (+ distance),
+PFN layer = Linear(no bias) -> BatchNorm(eps 1e-3, mom 0.01) -> ReLU ->
+segment-max (+ gather-back concat for non-last layers).
+
+Batch statistics for the BN are computed over valid (non-padding, in-range)
+points only, matching the reference where padding does not exist.
+"""
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..model_utils.norm import MaskedBatchNorm
+
+
+class PFNLayer(nn.Module):
+    out_channels: int
+    use_norm: bool = True
+    last_layer: bool = False
+
+    @nn.compact
+    def __call__(self, x, pid_flat, valid_flat, num_segments, train=False):
+        out_ch = self.out_channels if self.last_layer else self.out_channels // 2
+        x = nn.Dense(out_ch, use_bias=not self.use_norm, name="linear")(x)
+        if self.use_norm:
+            x = MaskedBatchNorm(momentum=0.01, epsilon=1e-3, name="norm")(
+                x, mask=valid_flat, use_running_average=not train
+            )
+        x = nn.relu(x)
+        # padding rows must not pollute the max-pool: route them to the drop slot
+        pooled = jnp.zeros((num_segments, out_ch), dtype=x.dtype)
+        pooled = pooled.at[pid_flat].max(x, mode="drop")
+        if self.last_layer:
+            return pooled, pooled
+        back = pooled[jnp.clip(pid_flat, 0, num_segments - 1)]
+        return jnp.concatenate([x, back], axis=-1), pooled
+
+
+class DynamicPillarVFE(nn.Module):
+    model_cfg: Any
+    num_point_features: int
+    voxel_size: Sequence[float]
+    grid_size: Sequence[int]
+    point_cloud_range: Sequence[float]
+
+    def setup(self):
+        cfg = self.model_cfg
+        num_raw = cfg.get("NUM_RAW_POINT_FEATURES", None) or self.num_point_features
+        self.num_raw_point_features = int(num_raw)
+        self.use_norm = bool(cfg["USE_NORM"])
+        self.with_distance = bool(cfg["WITH_DISTANCE"])
+        self.use_absolute_xyz = bool(cfg["USE_ABSLOTE_XYZ"])  # (sic, reference key)
+        filters = list(cfg["NUM_FILTERS"])
+        self.pfn_layers = [
+            PFNLayer(
+                out_channels=filters[i],
+                use_norm=self.use_norm,
+                last_layer=(i >= len(filters) - 1),
+                name=f"pfn_{i}",
+            )
+            for i in range(len(filters))
+        ]
+        self.num_bev_features = filters[-1]
+
+    def __call__(self, batch, train=False):
+        cfg_range = jnp.asarray(self.point_cloud_range, dtype=jnp.float32)
+        vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+        nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
+        num_pillars = nx * ny
+
+        points = batch["points"][..., : self.num_raw_point_features]
+        mask = batch["points_mask"]
+        b, n = points.shape[0], points.shape[1]
+
+        coords = jnp.floor((points[..., 0:2] - cfg_range[0:2]) / jnp.asarray([vx, vy])).astype(
+            jnp.int32
+        )
+        in_range = (
+            (coords[..., 0] >= 0)
+            & (coords[..., 0] < nx)
+            & (coords[..., 1] >= 0)
+            & (coords[..., 1] < ny)
+        )
+        valid = mask & in_range
+        coords = jnp.clip(coords, 0, jnp.asarray([nx - 1, ny - 1]))
+
+        pid = coords[..., 1] * nx + coords[..., 0]  # (B, N), row-major (y, x)
+        pid_flat = jnp.where(
+            valid, pid + jnp.arange(b, dtype=jnp.int32)[:, None] * num_pillars, b * num_pillars
+        ).reshape(-1)
+        valid_flat = valid.reshape(-1)
+
+        xyz = points[..., 0:3].reshape(-1, 3)
+        xyz_masked = jnp.where(valid_flat[:, None], xyz, 0.0)
+
+        # cluster centers: per-pillar mean xyz, gathered back per point
+        sums = jnp.zeros((b * num_pillars, 3), dtype=xyz.dtype).at[pid_flat].add(
+            xyz_masked, mode="drop"
+        )
+        cnt = jnp.zeros((b * num_pillars,), dtype=xyz.dtype).at[pid_flat].add(
+            valid_flat.astype(xyz.dtype), mode="drop"
+        )
+        mean = sums / jnp.maximum(cnt, 1.0)[:, None]
+        f_cluster = xyz - mean[jnp.clip(pid_flat, 0, b * num_pillars - 1)]
+
+        # offset from pillar center (reference f_center, dynamic_pillar_vfe.py:113-116)
+        x_offset = vx / 2 + float(self.point_cloud_range[0])
+        y_offset = vy / 2 + float(self.point_cloud_range[1])
+        z_offset = float(self.voxel_size[2]) / 2 + float(self.point_cloud_range[2])
+        coords_flat = coords.reshape(-1, 2).astype(xyz.dtype)
+        f_center = jnp.stack(
+            [
+                xyz[:, 0] - (coords_flat[:, 0] * vx + x_offset),
+                xyz[:, 1] - (coords_flat[:, 1] * vy + y_offset),
+                xyz[:, 2] - z_offset,
+            ],
+            axis=-1,
+        )
+
+        raw = points.reshape(b * n, -1)
+        if self.use_absolute_xyz:
+            feats = [raw, f_cluster, f_center]
+        else:
+            feats = [raw[:, 3:], f_cluster, f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        features = jnp.concatenate(feats, axis=-1)
+
+        pooled = None
+        for pfn in self.pfn_layers:
+            features, pooled = pfn(features, pid_flat, valid_flat, b * num_pillars, train=train)
+
+        pillar_features = pooled.reshape(b, num_pillars, -1)
+        out = dict(batch)
+        out["pillar_features"] = pillar_features
+        out["pillar_count"] = cnt.reshape(b, num_pillars)
+        return out

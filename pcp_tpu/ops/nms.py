@@ -1,0 +1,127 @@
+"""Fixed-shape greedy NMS for rotated BEV boxes, in pure JAX.
+
+TPU-native replacement for the reference ``nms_gpu`` / ``nms_normal_gpu``
+(/root/reference/pcdet/ops/iou3d_nms/iou3d_nms_utils.py:84-116, kernel in
+iou3d_nms_kernel.cu). The CUDA version runs a 64-bit-bitmask blockwise greedy
+suppression over a score-sorted list and returns a variable-length index list;
+under XLA we keep everything statically shaped:
+
+  * boxes are score-sorted (invalid entries get -inf scores and sort last),
+  * one (K, K) rotated-IoU matrix is computed up front (MXU/VPU friendly),
+  * a ``lax.fori_loop`` walks the sorted list carrying a suppression mask,
+  * the result is a fixed-size keep mask + the indices of kept boxes padded to
+    ``post_max_size``.
+
+Greedy semantics match the CUDA kernel exactly: a box is kept iff no
+higher-scoring *kept* box overlaps it above the threshold.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import boxes_iou_bev, boxes_iou_normal
+
+
+def _greedy_suppress(iou, valid, thresh):
+    """iou: (K, K); valid: (K,) bool, in score-sorted order. Returns keep mask (K,)."""
+    k = iou.shape[0]
+    over = iou > thresh
+
+    def body(i, state):
+        suppressed, keep = state
+        keep_i = valid[i] & ~suppressed[i]
+        keep = keep.at[i].set(keep_i)
+        suppressed = suppressed | (keep_i & over[i])
+        return suppressed, keep
+
+    suppressed0 = jnp.zeros((k,), dtype=bool)
+    keep0 = jnp.zeros((k,), dtype=bool)
+    _, keep = jax.lax.fori_loop(0, k, body, (suppressed0, keep0))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("post_max_size", "normal"))
+def nms_bev(boxes, scores, valid_mask, thresh, post_max_size=83, normal=False):
+    """Greedy rotated-BEV NMS over a fixed-capacity box buffer.
+
+    Args:
+        boxes: (K, 7) — may contain padding rows.
+        scores: (K,) — scores for sorting.
+        valid_mask: (K,) bool — False rows are padding and never kept.
+        thresh: IoU threshold.
+        post_max_size: number of kept indices to return (padded with -1).
+        normal: use axis-aligned IoU (``nms_normal_gpu`` semantics).
+
+    Returns:
+        keep_idx: (post_max_size,) int32 indices into the *input* order,
+            -1 for padding.
+        keep_count: scalar int32, number of valid entries in keep_idx.
+    """
+    neg_inf = jnp.array(-jnp.inf, dtype=scores.dtype)
+    sort_scores = jnp.where(valid_mask, scores, neg_inf)
+    order = jnp.argsort(-sort_scores)
+    boxes_s = boxes[order]
+    valid_s = valid_mask[order]
+
+    iou_fn = boxes_iou_normal if normal else boxes_iou_bev
+    iou = iou_fn(boxes_s, boxes_s)
+    keep = _greedy_suppress(iou, valid_s, thresh)
+
+    # compact kept indices to the front, preserving score order
+    kept_rank = jnp.cumsum(keep) - 1  # rank among kept, valid only where keep
+    src_idx = order  # sorted position -> original index
+    out = jnp.full((post_max_size,), -1, dtype=jnp.int32)
+    scatter_pos = jnp.where(keep, kept_rank, post_max_size)  # overflow rows dropped
+    out = out.at[jnp.clip(scatter_pos, 0, post_max_size)].set(
+        src_idx.astype(jnp.int32), mode="drop"
+    )
+    keep_count = jnp.minimum(jnp.sum(keep), post_max_size).astype(jnp.int32)
+    return out, keep_count
+
+
+@partial(jax.jit, static_argnames=("post_max_size",))
+def nms_bev_mask(boxes, scores, valid_mask, thresh, post_max_size=83):
+    """Like :func:`nms_bev` but returns a keep *mask* aligned with the input
+    order (True for at most the ``post_max_size`` highest-scoring survivors)."""
+    keep_idx, _ = nms_bev(boxes, scores, valid_mask, thresh, post_max_size=post_max_size)
+    mask = jnp.zeros((boxes.shape[0],), dtype=bool)
+    mask = mask.at[jnp.clip(keep_idx, 0, boxes.shape[0])].set(keep_idx >= 0, mode="drop")
+    return mask
+
+
+def class_agnostic_nms(boxes, scores, valid_mask, nms_cfg, score_thresh=None):
+    """Config-driven class-agnostic NMS mirroring the reference
+    ``model_nms_utils.class_agnostic_nms`` (model_nms_utils.py:6-25): optional
+    score threshold, top-k pre-selection, rotated NMS, post-max cap — but with
+    static shapes (selection returned as index buffer + count).
+
+    Args:
+        boxes: (K, 7+), scores: (K,), valid_mask: (K,) bool.
+        nms_cfg: dict-like with NMS_THRESH / NMS_PRE_MAXSIZE / NMS_POST_MAXSIZE
+            / NMS_TYPE.
+    Returns:
+        keep_idx: (NMS_POST_MAXSIZE,) indices into input order (-1 pad),
+        keep_count: scalar int32.
+    """
+    if score_thresh is not None:
+        valid_mask = valid_mask & (scores >= score_thresh)
+
+    pre_max = int(nms_cfg["NMS_PRE_MAXSIZE"])
+    post_max = int(nms_cfg["NMS_POST_MAXSIZE"])
+    normal = str(nms_cfg.get("NMS_TYPE", "nms_gpu")) == "nms_normal_gpu"
+
+    k = boxes.shape[0]
+    if k > pre_max:
+        neg_inf = jnp.array(-jnp.inf, dtype=scores.dtype)
+        order = jnp.argsort(-jnp.where(valid_mask, scores, neg_inf))[:pre_max]
+        keep_idx, keep_count = nms_bev(
+            boxes[order][:, :7], scores[order], valid_mask[order],
+            float(nms_cfg["NMS_THRESH"]), post_max_size=post_max, normal=normal,
+        )
+        keep_idx = jnp.where(keep_idx >= 0, order[jnp.clip(keep_idx, 0)], -1).astype(jnp.int32)
+        return keep_idx, keep_count
+    return nms_bev(
+        boxes[:, :7], scores, valid_mask,
+        float(nms_cfg["NMS_THRESH"]), post_max_size=post_max, normal=normal,
+    )

@@ -1,0 +1,125 @@
+"""Multi-scale dense BEV backbone (NHWC, TPU conv layout).
+
+Capability match for /root/reference/pcdet/models/backbones_2d/base_bev_backbone.py:6-112:
+per-level [Conv s / Conv 1]*n blocks with BN(eps 1e-3, mom 0.01)+ReLU, and
+transposed-conv (stride >= 1) or strided-conv (stride < 1) "deblocks" whose
+outputs are channel-concatenated into ``spatial_features_2d``.
+"""
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)) if self.kernel == 3 else "VALID", use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm"
+        )(x)
+        return nn.relu(x)
+
+
+class DeConvBNReLU(nn.Module):
+    features: int
+    stride: int  # upsample factor
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.ConvTranspose(
+            self.features, (self.stride, self.stride), strides=(self.stride, self.stride),
+            padding="VALID", use_bias=False, name="deconv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm"
+        )(x)
+        return nn.relu(x)
+
+
+class DownConvBNReLU(nn.Module):
+    features: int
+    stride: int  # downsample factor (kernel == stride)
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(
+            self.features, (self.stride, self.stride), strides=(self.stride, self.stride),
+            padding="VALID", use_bias=False, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm"
+        )(x)
+        return nn.relu(x)
+
+
+class BaseBEVBackbone(nn.Module):
+    model_cfg: Any
+    input_channels: int
+
+    def setup(self):
+        cfg = self.model_cfg
+        layer_nums = list(cfg.get("LAYER_NUMS", []))
+        layer_strides = list(cfg.get("LAYER_STRIDES", []))
+        num_filters = list(cfg.get("NUM_FILTERS", []))
+        upsample_strides = list(cfg.get("UPSAMPLE_STRIDES", []))
+        num_upsample_filters = list(cfg.get("NUM_UPSAMPLE_FILTERS", []))
+
+        blocks = []
+        deblocks = []
+        for idx in range(len(layer_nums)):
+            level = [ConvBNReLU(num_filters[idx], stride=layer_strides[idx], name=f"block{idx}_0")]
+            for k in range(layer_nums[idx]):
+                level.append(ConvBNReLU(num_filters[idx], name=f"block{idx}_{k + 1}"))
+            blocks.append(level)
+            if upsample_strides:
+                s = upsample_strides[idx]
+                if s >= 1:
+                    deblocks.append(
+                        DeConvBNReLU(num_upsample_filters[idx], int(s), name=f"deblock{idx}")
+                    )
+                else:
+                    deblocks.append(
+                        DownConvBNReLU(
+                            num_upsample_filters[idx], int(np.round(1 / s)), name=f"deblock{idx}"
+                        )
+                    )
+        self.blocks = blocks
+        self.deblocks = deblocks
+
+        c_in = sum(num_upsample_filters) if num_upsample_filters else (
+            num_filters[-1] if num_filters else self.input_channels
+        )
+        if len(upsample_strides) > len(layer_nums):
+            self.extra_deblock = DeConvBNReLU(c_in, int(upsample_strides[-1]), name="deblock_extra")
+        else:
+            self.extra_deblock = None
+        self.num_bev_features = c_in
+
+    def __call__(self, batch, train=False):
+        x = batch["spatial_features"]
+        ups = []
+        for i, level in enumerate(self.blocks):
+            for layer in level:
+                x = layer(x, train=train)
+            ups.append(self.deblocks[i](x, train=train) if self.deblocks else x)
+
+        if len(ups) > 1:
+            x = jnp.concatenate(ups, axis=-1)
+        elif ups:
+            x = ups[0]
+        if self.extra_deblock is not None:
+            x = self.extra_deblock(x, train=train)
+
+        out = dict(batch)
+        out["spatial_features_2d"] = x
+        return out

@@ -1,0 +1,154 @@
+"""CenterPoint heatmap utilities, vectorized for XLA.
+
+Capability match for /root/reference/pcdet/models/model_utils/centernet_utils.py
+(gaussian_radius :8-34, draw_gaussian_to_heatmap :46-68, _topk :134-149,
+decode_bbox_from_heatmap :152-214). The reference draws per-GT gaussian patches
+on the CPU in a python loop; here the whole assignment is one batched
+gaussian-splat: every (gt, patch-pixel) pair becomes a (flat-index, value)
+element scattered with max into the heatmap — static shapes, fully on device.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_radius(height, width, min_overlap=0.5):
+    """Minimum gaussian radius keeping IoU >= min_overlap (CornerNet recipe);
+    element-wise over arrays."""
+    a1 = 1.0
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = jnp.sqrt(jnp.clip(b1**2 - 4 * a1 * c1, min=0.0))
+    r1 = (b1 + sq1) / 2
+
+    a2 = 4.0
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = jnp.sqrt(jnp.clip(b2**2 - 4 * a2 * c2, min=0.0))
+    r2 = (b2 + sq2) / 2
+
+    a3 = 4.0 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = jnp.sqrt(jnp.clip(b3**2 - 4 * a3 * c3, min=0.0))
+    r3 = (b3 + sq3) / 2
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+def splat_gaussians(centers, radii, class_ids, valid, num_classes, size_xy, patch_radius=10):
+    """Draw per-object gaussians onto class heatmaps with max-combine.
+
+    Args:
+        centers: (M, 2) float (x, y) feature-map coords.
+        radii: (M,) int32 gaussian radii (already clamped to min radius).
+        class_ids: (M,) int32 in [0, num_classes).
+        valid: (M,) bool.
+        num_classes: static int.
+        size_xy: static (W, H).
+        patch_radius: static max radius support; radii are clipped to it.
+    Returns:
+        (H, W, num_classes) heatmap.
+    """
+    w, h = size_xy
+    m = centers.shape[0]
+    r_sup = patch_radius
+    side = 2 * r_sup + 1
+
+    center_int = centers.astype(jnp.int32)  # floor for non-negative coords
+    radii = jnp.minimum(radii, r_sup)
+
+    du = jax.lax.broadcasted_iota(jnp.int32, (side, side), 1) - r_sup  # x offset
+    dv = jax.lax.broadcasted_iota(jnp.int32, (side, side), 0) - r_sup  # y offset
+
+    cx = center_int[:, 0][:, None, None] + du[None]
+    cy = center_int[:, 1][:, None, None] + dv[None]
+    r = radii[:, None, None]
+    sigma = (2 * r.astype(jnp.float32) + 1) / 6.0
+    val = jnp.exp(
+        -(du[None].astype(jnp.float32) ** 2 + dv[None].astype(jnp.float32) ** 2)
+        / (2 * sigma**2)
+    )
+
+    ok = (
+        valid[:, None, None]
+        & (jnp.abs(du[None]) <= r)
+        & (jnp.abs(dv[None]) <= r)
+        & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    )
+    flat_idx = jnp.where(
+        ok, (cy * w + cx) * num_classes + class_ids[:, None, None], h * w * num_classes
+    )
+    hm = jnp.zeros((h * w * num_classes,), dtype=jnp.float32)
+    hm = hm.at[flat_idx.reshape(-1)].max(
+        jnp.where(ok, val, 0.0).reshape(-1), mode="drop"
+    )
+    return hm.reshape(h, w, num_classes)
+
+
+def topk_heatmap(scores, k):
+    """Per-class then global top-k (reference _topk, centernet_utils.py:134-149).
+
+    Args:
+        scores: (B, H, W, C).
+    Returns:
+        score, flat_ind (into H*W), class_id, y, x — each (B, k).
+    """
+    b, h, w, c = scores.shape
+    s = jnp.transpose(scores, (0, 3, 1, 2)).reshape(b, c, h * w)
+    cls_score, cls_ind = jax.lax.top_k(s, k)  # (B, C, k)
+    ys = (cls_ind // w).astype(jnp.float32)
+    xs = (cls_ind % w).astype(jnp.float32)
+
+    topk_score, topk_ind = jax.lax.top_k(cls_score.reshape(b, c * k), k)  # (B, k)
+    topk_class = (topk_ind // k).astype(jnp.int32)
+    gather = lambda t: jnp.take_along_axis(t.reshape(b, c * k), topk_ind, axis=1)
+    return topk_score, gather(cls_ind), topk_class, gather(ys), gather(xs)
+
+
+def decode_bbox_from_heatmap(
+    heatmap, rot_cos, rot_sin, center, center_z, dim,
+    point_cloud_range, voxel_size, feature_map_stride, vel=None, k=500,
+    score_thresh=None, post_center_limit_range=None,
+):
+    """Assemble top-k box predictions from head outputs (all NHWC).
+
+    Returns dict with fixed shapes: boxes (B, k, 7[+2]), scores (B, k),
+    labels (B, k), valid (B, k) — padding marked invalid instead of dropped
+    (the reference filters to variable length; downstream NMS consumes the
+    mask).
+    """
+    b, h, w, _ = heatmap.shape
+    scores, inds, class_ids, ys, xs = topk_heatmap(heatmap, k)
+
+    def gather_feat(feat):
+        c = feat.shape[-1]
+        flat = feat.reshape(b, h * w, c)
+        return jnp.take_along_axis(flat, inds[..., None], axis=1)  # (B, k, c)
+
+    center = gather_feat(center)
+    rot_sin = gather_feat(rot_sin)
+    rot_cos = gather_feat(rot_cos)
+    center_z = gather_feat(center_z)
+    dim = gather_feat(dim)
+
+    angle = jnp.arctan2(rot_sin, rot_cos)
+    xs = xs[..., None] + center[..., 0:1]
+    ys = ys[..., None] + center[..., 1:2]
+    xs = xs * feature_map_stride * voxel_size[0] + point_cloud_range[0]
+    ys = ys * feature_map_stride * voxel_size[1] + point_cloud_range[1]
+
+    parts = [xs, ys, center_z, dim, angle]
+    if vel is not None:
+        parts.append(gather_feat(vel))
+    boxes = jnp.concatenate(parts, axis=-1)
+
+    valid = jnp.ones((b, k), dtype=bool)
+    if post_center_limit_range is not None:
+        lim = jnp.asarray(post_center_limit_range)
+        valid &= jnp.all(boxes[..., :3] >= lim[:3], axis=-1)
+        valid &= jnp.all(boxes[..., :3] <= lim[3:], axis=-1)
+    if score_thresh is not None:
+        valid &= scores > score_thresh
+
+    return {"pred_boxes": boxes, "pred_scores": scores, "pred_labels": class_ids, "valid": valid}

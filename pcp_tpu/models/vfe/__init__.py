@@ -1,0 +1,17 @@
+from .dynamic_pillar_vfe import DynamicPillarVFE
+
+__all__ = {
+    "DynPillarVFE": DynamicPillarVFE,
+    "DynamicPillarVFE": DynamicPillarVFE,
+}
+
+
+def build_vfe(vfe_cfg, info):
+    cls = __all__[vfe_cfg["NAME"]]
+    return cls(
+        model_cfg=vfe_cfg,
+        num_point_features=info.num_point_features,
+        voxel_size=info.voxel_size,
+        grid_size=info.grid_size,
+        point_cloud_range=info.point_cloud_range,
+    )

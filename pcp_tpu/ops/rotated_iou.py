@@ -87,7 +87,77 @@ def _segment_intersections(corners_a, corners_b):
     return pts.reshape(16, 2), valid.reshape(16)
 
 
+def _clip_halfplane(verts, count, a, b):
+    """One Sutherland–Hodgman clip of a convex polygon by the half-plane left
+    of directed edge a->b, with fixed-size buffers (sort-free, gather-free:
+    compaction is a one-hot matmul, so the whole clip is VPU/MXU work).
+
+    Args:
+        verts: (V, 2) vertex buffer, first `count` entries valid.
+        count: scalar int32 number of valid vertices.
+        a, b: (2,) clip edge endpoints.
+    Returns:
+        (V, 2) new buffer, new count.
+    """
+    v = verts.shape[0]
+    idx = jnp.arange(v)
+    in_poly = idx < count
+    nxt_idx = jnp.where(idx + 1 < count, idx + 1, 0)
+    nxt = verts[nxt_idx]  # tiny gather over 8 rows — fine
+
+    d = b - a
+    side_cur = d[0] * (verts[:, 1] - a[1]) - d[1] * (verts[:, 0] - a[0])
+    side_nxt = d[0] * (nxt[:, 1] - a[1]) - d[1] * (nxt[:, 0] - a[0])
+
+    # tolerance in *distance* units (side = dist * |d|): vertices exactly on
+    # the clip line (identical/touching boxes) must survive float round-off
+    tol = 1e-4 * jnp.sqrt(d[0] * d[0] + d[1] * d[1])
+    inside_cur = side_cur >= -tol
+    inside_nxt = side_nxt >= -tol
+    keep_cur = in_poly & inside_cur
+    # crossing uses the same tolerance-shifted classification as keep_cur so a
+    # vertex on the line never emits both itself and a duplicate intersection
+    # (which would overflow the fixed 8-slot buffer)
+    crossing = in_poly & (inside_cur != inside_nxt) & (side_cur != side_nxt)
+    denom = jnp.where(side_cur == side_nxt, 1.0, side_cur - side_nxt)
+    t = side_cur / denom
+    inter = verts + t[:, None] * (nxt - verts)
+
+    # interleave emission slots: [v0, x0, v1, x1, ...] -> (2V, 2)
+    cand = jnp.stack([verts, inter], axis=1).reshape(2 * v, 2)
+    cand_valid = jnp.stack([keep_cur, crossing], axis=1).reshape(2 * v)
+
+    pos = jnp.cumsum(cand_valid) - 1  # output slot per valid candidate
+    onehot = (
+        (pos[:, None] == jnp.arange(v)[None, :]) & cand_valid[:, None]
+    ).astype(verts.dtype)  # (2V, V)
+    out = onehot.T @ cand  # (V, 2)
+    new_count = jnp.sum(cand_valid).astype(count.dtype)
+    return out, jnp.minimum(new_count, v)
+
+
 def _pair_overlap_bev(box_a, box_b):
+    """Overlap area of two rotated BEV rectangles via 4 half-plane clips.
+    box_a/box_b: (7,) -> scalar. Sort-free; every op is elementwise or an
+    8x16 matmul, so the 500x500 NMS IoU matrix stays on the VPU."""
+    ca = box_corners_bev(box_a[None])[0]  # (4, 2) CCW
+    cb = box_corners_bev(box_b[None])[0]
+
+    verts = jnp.zeros((8, 2), dtype=ca.dtype).at[:4].set(ca)
+    count = jnp.asarray(4, jnp.int32)
+    for i in range(4):
+        verts, count = _clip_halfplane(verts, count, cb[i], cb[(i + 1) % 4])
+
+    idx = jnp.arange(8)
+    nxt_idx = jnp.where(idx + 1 < count, idx + 1, 0)
+    nxt = verts[nxt_idx]
+    mask = (idx < count).astype(verts.dtype)
+    area2 = jnp.sum((verts[:, 0] * nxt[:, 1] - nxt[:, 0] * verts[:, 1]) * mask)
+    area = 0.5 * jnp.abs(area2)
+    return jnp.where(count >= 3, area, 0.0)
+
+
+def _pair_overlap_bev_sorted(box_a, box_b):
     """Overlap area of two rotated BEV rectangles. box_a/box_b: (7,) -> scalar."""
     ca = box_corners_bev(box_a[None])[0]  # (4, 2)
     cb = box_corners_bev(box_b[None])[0]
@@ -119,16 +189,160 @@ def _pair_overlap_bev(box_a, box_b):
     return jnp.where(num_valid >= 3, area, 0.0)
 
 
+def _bitonic_sort_axis0(key, vals):
+    """Ascending bitonic sort along axis 0 (power-of-two length), carrying
+    ``vals`` alongside the key. ``jax.lax.sort`` unrolls into an enormous HLO
+    for multi-operand sorts on (24, 500, 500)-shaped inputs (O(minutes)
+    compile); this explicit network is ~15 reshape+min/max phases and
+    compiles instantly."""
+    n = key.shape[0]
+    assert (n & (n - 1)) == 0, "length must be a power of two"
+    tail = key.shape[1:]
+
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            groups = n // (2 * j)
+            shp = (groups, 2, j) + tail
+            kk = key.reshape(shp)
+            lo, hi = kk[:, 0], kk[:, 1]
+            a_idx = jnp.arange(groups) * 2 * j
+            up = ((a_idx & k) == 0).reshape((groups,) + (1,) * (len(tail) + 1))
+            swap = jnp.where(up, lo > hi, lo < hi)
+            new_lo = jnp.where(swap, hi, lo)
+            new_hi = jnp.where(swap, lo, hi)
+            key = jnp.stack([new_lo, new_hi], axis=1).reshape((n,) + tail)
+            new_vals = []
+            for v in vals:
+                vv = v.reshape(shp)
+                vlo, vhi = vv[:, 0], vv[:, 1]
+                nlo = jnp.where(swap, vhi, vlo)
+                nhi = jnp.where(swap, vlo, vhi)
+                new_vals.append(jnp.stack([nlo, nhi], axis=1).reshape((n,) + tail))
+            vals = new_vals
+            j //= 2
+        k *= 2
+    return key, vals
+
+
 def boxes_overlap_bev(boxes_a, boxes_b):
-    """Pairwise rotated BEV overlap area.
+    """Pairwise rotated BEV overlap area, TPU-layout-native.
+
+    The per-pair polygon algebra is laid out struct-of-arrays: every candidate
+    vertex quantity is a (24, N, M) plane so the (N, M) pair grid fills the
+    VPU lanes/sublanes and the tiny 24-slot vertex axis is the *leading* axis
+    (a naive per-pair (8, 2) buffer layout pads each pair to a full 128-lane
+    tile — a ~64x memory blowup that made the 500x500 NMS IoU matrix take
+    seconds). The angular sort runs along axis 0 via ``lax.sort``: a compare-
+    exchange network of full-plane min/max ops, no cross-lane traffic.
+
+    Algorithm (same as the reference CUDA kernel, iou3d_nms_kernel.cu:110-230):
+    candidates = corners of A inside B + corners of B inside A + the 16
+    edge-pair intersections; sort valid candidates by angle around their
+    centroid; shoelace.
 
     Args:
         boxes_a: (N, 7), boxes_b: (M, 7)
     Returns:
         (N, M) overlap areas.
     """
-    fn = jax.vmap(jax.vmap(_pair_overlap_bev, in_axes=(None, 0)), in_axes=(0, None))
-    return fn(boxes_a, boxes_b)
+    n, m = boxes_a.shape[0], boxes_b.shape[0]
+    ca = box_corners_bev(boxes_a)  # (N, 4, 2)
+    cb = box_corners_bev(boxes_b)  # (M, 4, 2)
+
+    # SoA planes: leading axis is the corner/candidate slot
+    ax = jnp.transpose(ca[..., 0])[:, :, None]  # (4, N, 1)
+    ay = jnp.transpose(ca[..., 1])[:, :, None]
+    bx = jnp.transpose(cb[..., 0])[:, None, :]  # (4, 1, M)
+    by = jnp.transpose(cb[..., 1])[:, None, :]
+
+    def in_rect(px, py, boxes, transpose):
+        # px/py: (4, N, M)-broadcastable; boxes: (K, 7) on the axis given
+        if transpose:  # boxes vary along M
+            cxy = boxes[None, None, :, :]
+            cx, cy = cxy[..., 0], cxy[..., 1]
+            dx, dy = cxy[..., 3], cxy[..., 4]
+            cos = jnp.cos(cxy[..., 6])
+            sin = jnp.sin(cxy[..., 6])
+        else:  # boxes vary along N
+            cxy = boxes[None, :, None, :]
+            cx, cy = cxy[..., 0], cxy[..., 1]
+            dx, dy = cxy[..., 3], cxy[..., 4]
+            cos = jnp.cos(cxy[..., 6])
+            sin = jnp.sin(cxy[..., 6])
+        rx = px - cx
+        ry = py - cy
+        lx = cos * rx + sin * ry
+        ly = -sin * rx + cos * ry
+        return (jnp.abs(lx) <= dx * 0.5 + CONTAIN_MARGIN) & (
+            jnp.abs(ly) <= dy * 0.5 + CONTAIN_MARGIN
+        )
+
+    a_in_b = in_rect(ax, ay, boxes_b, transpose=True)   # (4, N, M)
+    b_in_a = in_rect(bx, by, boxes_a, transpose=False)  # (4, N, M)
+
+    # edge-pair intersections: A edge i (4) x B edge j (4) -> 16 planes
+    ax0, ay0 = ax, ay
+    ax1, ay1 = jnp.roll(ax, -1, axis=0), jnp.roll(ay, -1, axis=0)
+    bx0, by0 = bx, by
+    bx1, by1 = jnp.roll(bx, -1, axis=0), jnp.roll(by, -1, axis=0)
+
+    # broadcast (4a, 4b, N, M)
+    p_x, p_y = ax0[:, None], ay0[:, None]
+    r_x, r_y = (ax1 - ax0)[:, None], (ay1 - ay0)[:, None]
+    q_x, q_y = bx0[None], by0[None]
+    s_x, s_y = (bx1 - bx0)[None], (by1 - by0)[None]
+
+    rxs = r_x * s_y - r_y * s_x
+    qp_x, qp_y = q_x - p_x, q_y - p_y
+    qpxr = qp_x * r_y - qp_y * r_x
+    qpxs = qp_x * s_y - qp_y * s_x
+    denom = jnp.where(jnp.abs(rxs) < EPS, jnp.where(rxs < 0, -EPS, EPS), rxs)
+    t = qpxs / denom
+    u = qpxr / denom
+    ivalid = (jnp.abs(rxs) >= EPS) & (t >= -EPS) & (t <= 1 + EPS) & (u >= -EPS) & (u <= 1 + EPS)
+    ix = p_x + t * r_x
+    iy = p_y + t * r_y
+
+    z = jnp.zeros((n, m), dtype=boxes_a.dtype)
+    xs = jnp.concatenate([ax + (by * 0), bx + (ay * 0), ix.reshape(16, n, m)], axis=0)
+    ys = jnp.concatenate([ay + (bx * 0), by + (ax * 0), iy.reshape(16, n, m)], axis=0)
+    valid = jnp.concatenate([a_in_b, b_in_a, ivalid.reshape(16, n, m)], axis=0)  # (24,N,M)
+
+    w = valid.astype(xs.dtype)
+    num_valid = jnp.sum(w, axis=0)  # (N, M)
+    denom_c = jnp.maximum(num_valid, 1.0)
+    cx_c = jnp.sum(xs * w, axis=0) / denom_c
+    cy_c = jnp.sum(ys * w, axis=0) / denom_c
+
+    ang = jnp.arctan2(ys - cy_c[None], xs - cx_c[None])
+    slot = jnp.arange(24, dtype=xs.dtype)[:, None, None] + z[None]
+    key = jnp.where(valid, ang, 1e9 + slot)
+    # pad 24 -> 32 slots (power of two) with +inf keys for the bitonic network
+    pad = jnp.full((8, n, m), 2e9, dtype=xs.dtype)
+    key_p = jnp.concatenate([key, pad], axis=0)
+    xs_p = jnp.concatenate([xs, jnp.zeros((8, n, m), xs.dtype)], axis=0)
+    ys_p = jnp.concatenate([ys, jnp.zeros((8, n, m), ys.dtype)], axis=0)
+    _, (xs_s, ys_s) = _bitonic_sort_axis0(key_p, (xs_p, ys_p))
+    xs_s, ys_s = xs_s[:24], ys_s[:24]
+
+    # shoelace over the first num_valid sorted slots, closed by (last -> first)
+    i = jnp.arange(24)[:, None, None]
+    nxt_x = jnp.roll(xs_s, -1, axis=0)
+    nxt_y = jnp.roll(ys_s, -1, axis=0)
+    seg_mask = (i + 1 < num_valid[None]).astype(xs.dtype)
+    cross = xs_s * nxt_y - nxt_x * ys_s
+    area2 = jnp.sum(cross * seg_mask, axis=0)
+
+    last_onehot = (i == (num_valid[None] - 1)).astype(xs.dtype)
+    last_x = jnp.sum(xs_s * last_onehot, axis=0)
+    last_y = jnp.sum(ys_s * last_onehot, axis=0)
+    first_x, first_y = xs_s[0], ys_s[0]
+    area2 = area2 + (last_x * first_y - first_x * last_y)
+
+    area = 0.5 * jnp.abs(area2)
+    return jnp.where(num_valid >= 3, area, 0.0)
 
 
 def boxes_iou_bev(boxes_a, boxes_b):

@@ -2,10 +2,16 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (the driver dry-runs the same way).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the ambient TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# sitecustomize may have imported jax with JAX_PLATFORMS=axon already cached;
+# override programmatically before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

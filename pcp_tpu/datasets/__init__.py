@@ -1,0 +1,48 @@
+"""Dataset registry + build_dataloader (counterpart of reference
+pcdet/datasets/__init__.py:54-84)."""
+from .dataset import DatasetTemplate
+from .loader import DataLoader
+from .v2x_sim import (
+    V2XSimDataset_RSU,
+    V2XSimDataset_CAR,
+    V2XSimDataset_EGO,
+    V2XSimDataset_EGO_LATE,
+    V2XSimDataset_EGO_EARLY,
+    V2XSimDataset_EGO_DISCO,
+)
+
+__all__ = {
+    "DatasetTemplate": DatasetTemplate,
+    "V2XSimDataset_RSU": V2XSimDataset_RSU,
+    "V2XSimDataset_CAR": V2XSimDataset_CAR,
+    "V2XSimDataset_EGO": V2XSimDataset_EGO,
+    "V2XSimDataset_EGO_LATE": V2XSimDataset_EGO_LATE,
+    "V2XSimDataset_EGO_EARLY": V2XSimDataset_EGO_EARLY,
+    "V2XSimDataset_EGO_DISCO": V2XSimDataset_EGO_DISCO,
+}
+
+
+def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path=None,
+                     workers=4, seed=None, logger=None, training=True,
+                     merge_all_iters_to_one_epoch=False, total_epochs=0, source=None):
+    dataset = __all__[dataset_cfg["DATASET"]](
+        dataset_cfg=dataset_cfg,
+        class_names=class_names,
+        root_path=root_path,
+        training=training,
+        logger=logger,
+        source=source,
+    )
+    if merge_all_iters_to_one_epoch:
+        dataset._merge_all_iters_to_one_epoch = True
+        dataset.total_epochs = total_epochs
+
+    dataloader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=training,
+        seed=seed,
+        drop_last=training,
+        num_workers=workers,
+    )
+    return dataset, dataloader, None

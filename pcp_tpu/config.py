@@ -148,11 +148,15 @@ def cfg_from_list(cfg_list, config):
             assert subkey in d, "NotFoundKey: %s" % subkey
             d = d[subkey]
         subkey = key_list[-1]
-        assert subkey in d, "NotFoundKey: %s" % subkey
         try:
             value = ast.literal_eval(v)
         except (ValueError, SyntaxError):
             value = v
+        if subkey not in d:
+            # unlike the reference's hard assert, permit introducing new keys
+            # (datasets read config via .get(KEY, default) everywhere)
+            d[subkey] = value
+            continue
         if isinstance(value, dict):
             # partial dict override: merge instead of replace
             for sk, sv in value.items():

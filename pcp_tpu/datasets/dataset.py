@@ -85,10 +85,10 @@ class DatasetTemplate:
         if data_dict.get("gt_boxes", None) is not None:
             selected = common_utils.keep_arrays_by_name(data_dict["gt_names"], self.class_names)
             data_dict["gt_boxes"] = data_dict["gt_boxes"][selected]
-            if data_dict.get("instances_tf", None) is not None and data_dict["instances_tf"].shape[
-                0
-            ] == len(data_dict["gt_names"]):
-                data_dict["instances_tf"] = data_dict["instances_tf"][selected]
+            # NOTE: instances_tf is deliberately NOT filtered — its rows stay in
+            # the original instance enumeration that points' inst_idx refers to
+            # (matches the reference, where the HunterJr targets index it that
+            # way; gt_boxes rows are class-filtered independently).
             data_dict["gt_names"] = (
                 data_dict["gt_names"][selected]
                 if isinstance(data_dict["gt_names"], np.ndarray)

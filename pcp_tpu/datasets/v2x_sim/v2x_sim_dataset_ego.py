@@ -55,6 +55,8 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
         if dataset_cfg.get("USE_GT_FROM_EVERY_AGENT", True):
             rng_limit = float(dataset_cfg.get("EVAL_FILTER_GT_BEYOND_RANGE", -1))
             cache = self.root_path / f"{self.mode}_gt_from_all_range60.pkl"
+            if self.synthetic:
+                cache = Path("/nonexistent")  # synthetic GT is cheap; don't cache
             if cache.exists():
                 with open(cache, "rb") as f:
                     self.infos = pickle.load(f)
@@ -70,12 +72,13 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
                             gt_names = gt_names[[0]] if gt_names.shape[0] else np.array(["car"])
                     self.infos[idx]["gt_boxes"] = gt_boxes
                     self.infos[idx]["gt_names"] = gt_names
-                try:
-                    cache.parent.mkdir(parents=True, exist_ok=True)
-                    with open(cache, "wb") as f:
-                        pickle.dump(self.infos, f)
-                except OSError:
-                    pass
+                if not self.synthetic:
+                    try:
+                        cache.parent.mkdir(parents=True, exist_ok=True)
+                        with open(cache, "wb") as f:
+                            pickle.dump(self.infos, f)
+                    except OSError:
+                        pass
 
     def get_all_ground_truth(self, ego_lidar_token):
         """GT from every agent mapped into the ego frame, NMS-deduplicated."""

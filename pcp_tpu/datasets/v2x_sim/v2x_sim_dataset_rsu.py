@@ -22,9 +22,14 @@ class V2XSimDataset_RSU(DatasetTemplate):
     LIDAR_IDS = (0,)
 
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None, logger=None, source=None):
-        root_path = (
-            Path(root_path) if root_path is not None else Path(dataset_cfg["DATA_PATH"])
-        ) / dataset_cfg["VERSION"]
+        root_path = Path(root_path) if root_path is not None else Path(dataset_cfg["DATA_PATH"])
+        if not root_path.exists():
+            # configured path absent (e.g. reference-style ../data/v2x-sim):
+            # anchor the synthetic/cache tree inside the repo instead
+            from ...config import ROOT_DIR
+
+            root_path = ROOT_DIR / "data" / "v2x-sim"
+        root_path = root_path / dataset_cfg["VERSION"]
         super().__init__(dataset_cfg, class_names, training, root_path, logger)
         self._prefix = "mini" if "mini" in dataset_cfg["VERSION"] else "full"
 
@@ -35,9 +40,9 @@ class V2XSimDataset_RSU(DatasetTemplate):
         self.num_sweeps = self.num_historical_sweeps + 1
         self.threshold_boxes_by_points = dataset_cfg.get("THRESHOLD_BOXES_BY_POINTS", 5)
 
-        real_db_present = (self.root_path / dataset_cfg["VERSION"]).exists() or (
-            self.root_path / "maps"
-        ).exists()
+        # real V2X-Sim present iff the nuScenes table dir exists
+        # (dataroot/VERSION/VERSION/sample.json layout, as the reference loads)
+        real_db_present = (self.root_path / dataset_cfg["VERSION"] / "sample.json").exists()
         self.synthetic = bool(dataset_cfg.get("USE_SYNTHETIC_DATA", False)) or not real_db_present
         if source is not None:
             self.source = source

@@ -1,8 +1,10 @@
 from .centerpoint import CenterPoint
 from .detector_template import Detector3DTemplate, DatasetInfo
+from .v2x_late_fusion import V2XLateFusion
 
 __all__ = {
     "CenterPoint": CenterPoint,
+    "V2XLateFusion": V2XLateFusion,
 }
 
 

@@ -1,0 +1,104 @@
+"""Training loop.
+
+Counterpart of /root/reference/tools/train_utils/train_utils.py:
+``train_one_epoch`` (per-iter LR schedule driven inside the optimizer,
+forward+backward+clip+step fused into the jitted train step) and
+``train_model`` (epoch loop, checkpoint rotation, periodic 'latest' snapshot).
+Timing meters cover data/step time like the reference's AverageMeters.
+"""
+import time
+
+import jax
+import numpy as np
+
+from ..parallel import make_mesh, replicate_state, shard_batch
+from .checkpoint import save_checkpoint
+from .train_state import make_train_step
+
+
+def _to_device_batch(batch, mesh=None):
+    import jax.numpy as jnp
+
+    dev = {
+        "batch_size": batch["batch_size"],
+        "points": jnp.asarray(batch["points"], jnp.float32),
+        "points_mask": jnp.asarray(batch["points_mask"]),
+    }
+    for key in ("gt_boxes", "instances_tf"):
+        if key in batch:
+            dev[key] = jnp.asarray(batch[key], jnp.float32)
+    if mesh is not None:
+        dev = shard_batch(mesh, dev)
+    return dev
+
+
+class AverageMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = self.sum = self.count = 0.0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=None,
+                    tb_writer=None, log_interval=50, step_fn=None):
+    step_fn = step_fn or make_train_step(model, tx)
+    data_time, step_time = AverageMeter(), AverageMeter()
+    losses = AverageMeter()
+    end = time.time()
+    it = 0
+    for batch in train_loader:
+        data_time.update(time.time() - end)
+        dev_batch = _to_device_batch(batch, mesh)
+        state, loss, tb = step_fn(state, dev_batch)
+        loss = float(loss)
+        step_time.update(time.time() - end - data_time.val)
+        losses.update(loss)
+        if logger is not None and it % log_interval == 0:
+            logger.info(
+                f"epoch {epoch} it {it}/{len(train_loader)} loss {loss:.4f} "
+                f"(avg {losses.avg:.4f}) data {data_time.avg * 1e3:.0f}ms "
+                f"step {step_time.avg * 1e3:.0f}ms"
+            )
+        if tb_writer is not None:
+            tb_writer.add_scalar("train/loss", loss, int(state.step))
+            for k, v in tb.items():
+                try:
+                    tb_writer.add_scalar(f"train/{k}", float(v), int(state.step))
+                except (TypeError, ValueError):
+                    pass
+        it += 1
+        end = time.time()
+    return state, losses.avg, step_fn
+
+
+def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=None,
+                mesh=None, max_ckpt_save_num=30, start_epoch=0, tb_writer=None):
+    step_fn = make_train_step(model, tx)
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    if mesh is not None:
+        state = replicate_state(mesh, state)
+
+    for epoch in range(start_epoch, total_epochs):
+        train_loader.set_epoch(epoch)
+        state, avg_loss, step_fn = train_one_epoch(
+            model, state, tx, train_loader, epoch, logger=logger, mesh=mesh,
+            tb_writer=tb_writer, step_fn=step_fn,
+        )
+        save_checkpoint(
+            state, ckpt_dir, epoch + 1, int(state.step),
+            max_ckpt_save_num=max_ckpt_save_num, logger=logger,
+        )
+        if logger is not None:
+            logger.info(f"epoch {epoch} done, avg loss {avg_loss:.4f}")
+    return state

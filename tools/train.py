@@ -1,0 +1,104 @@
+"""Training CLI.
+
+Counterpart of /root/reference/tools/train.py: argparse surface (cfg_file,
+batch_size, epochs, extra_tag, ckpt, workers, --set overrides), output tree
+``output/{EXP_GROUP}/{TAG}/{extra_tag}/ckpt``, auto-resume from the newest
+checkpoint, then training via the jitted data-parallel step. Multi-chip data
+parallelism comes from the jax mesh (no launcher processes needed on TPU).
+"""
+import argparse
+import datetime
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+from pcp_tpu.config import cfg, cfg_from_yaml_file, cfg_from_list, log_config_to_file
+from pcp_tpu.datasets import build_dataloader
+from pcp_tpu.models import build_network
+from pcp_tpu.models.detectors.detector_template import DatasetInfo
+from pcp_tpu.train import build_optimizer, create_train_state
+from pcp_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+from pcp_tpu.train.train_utils import train_model, _to_device_batch
+from pcp_tpu.utils.common_utils import create_logger, set_random_seed
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="arg parser")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--fix_random_seed", action="store_true", default=False)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = "/".join(args.cfg_file.split("/")[1:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg_ = parse_config()
+    batch_size = args.batch_size or cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU * max(
+        len(jax.devices()), 1
+    )
+    epochs = args.epochs or cfg_.OPTIMIZATION.NUM_EPOCHS
+
+    output_dir = cfg_.ROOT_DIR / "output" / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
+    ckpt_dir = output_dir / "ckpt"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    log_file = output_dir / ("log_train_%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S"))
+    logger = create_logger(log_file)
+
+    logger.info("**********************Start logging**********************")
+    logger.info(f"devices: {jax.devices()}")
+    log_config_to_file(cfg_, logger=logger)
+    if args.fix_random_seed:
+        set_random_seed(666)
+
+    train_set, train_loader, _ = build_dataloader(
+        dataset_cfg=cfg_.DATA_CONFIG,
+        class_names=cfg_.CLASS_NAMES,
+        batch_size=batch_size,
+        root_path=None,
+        workers=args.workers,
+        logger=logger,
+        training=True,
+    )
+
+    info = DatasetInfo.from_data_cfg(cfg_.DATA_CONFIG, cfg_.CLASS_NAMES)
+    model = build_network(cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES), dataset_info=info)
+
+    tx, lr_fn = build_optimizer(cfg_.OPTIMIZATION, len(train_loader), epochs)
+
+    example = next(iter(train_loader))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), _to_device_batch(example))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"model parameters: {n_params}")
+
+    start_epoch = 0
+    resume_from = args.ckpt or latest_checkpoint(ckpt_dir)
+    if resume_from is not None:
+        state, start_epoch, _ = load_checkpoint(resume_from, state)
+        logger.info(f"resumed from {resume_from} (epoch {start_epoch})")
+
+    logger.info("**********************Start training**********************")
+    train_model(
+        model, state, tx, train_loader, epochs, ckpt_dir, logger=logger,
+        max_ckpt_save_num=args.max_ckpt_save_num, start_epoch=start_epoch,
+    )
+    logger.info("**********************Training done**********************")
+
+
+if __name__ == "__main__":
+    main()

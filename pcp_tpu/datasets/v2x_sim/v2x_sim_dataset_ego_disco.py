@@ -94,4 +94,15 @@ class V2XSimDataset_EGO_DISCO(V2XSimDataset_EGO):
                 "se3_from_ego": se3_from_ego,
             },
         }
-        return self.prepare_data(data_dict=input_dict)
+        data_dict = self.prepare_data(data_dict=input_dict)
+        # device-side pose arrays (built AFTER augmentation so se3_from_ego
+        # reflects world flips/rotations applied by the augmentor)
+        se3_arr = np.tile(np.eye(4, dtype=np.float32)[None], (6, 1, 1))
+        present = np.zeros(6, dtype=bool)
+        for lid, tf in data_dict["metadata"]["se3_from_ego"].items():
+            se3_arr[lid] = tf.astype(np.float32)
+            present[lid] = True
+        present[1] = True  # ego
+        data_dict["se3_from_ego_arr"] = se3_arr
+        data_dict["agent_present"] = present
+        return data_dict

@@ -5,6 +5,6 @@ __all__ = {
 }
 
 
-def build_backbone_2d(cfg, input_channels):
+def build_backbone_2d(cfg, input_channels, name="backbone_2d"):
     cls = __all__[cfg["NAME"]]
-    return cls(model_cfg=cfg, input_channels=input_channels)
+    return cls(model_cfg=cfg, input_channels=input_channels, name=name)

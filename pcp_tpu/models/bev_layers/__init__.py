@@ -7,7 +7,7 @@ def build_corrector(cfg, info, num_bev_features):
 
     registry = {"HunterJr": HunterJr, "OracleCorrector": OracleCorrector}
     cls = registry[cfg["NAME"]]
-    return cls(model_cfg=cfg, info=info, num_bev_features=num_bev_features)
+    return cls(model_cfg=cfg, info=info, num_bev_features=num_bev_features, name="corrector")
 
 
 def build_bev_maker(cfg, info, role):
@@ -21,4 +21,4 @@ def build_v2x_fusion(cfg, info, num_bev_features):
 
     registry = {"DISCO": V2XMidFusionDisco, "V2XMidFusionDisco": V2XMidFusionDisco}
     cls = registry[cfg["NAME"]]
-    return cls(model_cfg=cfg, info=info, num_bev_features=num_bev_features)
+    return cls(model_cfg=cfg, info=info, num_bev_features=num_bev_features, name="v2x_mid_fusion")

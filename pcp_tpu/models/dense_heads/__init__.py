@@ -5,9 +5,11 @@ __all__ = {
 }
 
 
-def build_dense_head(cfg, info, input_channels, num_class, predict_boxes_when_training=False):
+def build_dense_head(cfg, info, input_channels, num_class, predict_boxes_when_training=False,
+                     name="dense_head"):
     cls = __all__[cfg["NAME"]]
     return cls(
+        name=name,
         model_cfg=cfg,
         input_channels=input_channels,
         num_class=num_class,

@@ -103,6 +103,7 @@ class Detector3DTemplate(nn.Module):
                 build_dense_head(
                     cfg["DENSE_HEAD"], info, num_bev_features, self.num_class,
                     predict_boxes_when_training=cfg.get("ROI_HEAD") is not None,
+                    name="dense_head",
                 )
             )
         return modules

@@ -6,9 +6,10 @@ __all__ = {
 }
 
 
-def build_vfe(vfe_cfg, info):
+def build_vfe(vfe_cfg, info, name="vfe"):
     cls = __all__[vfe_cfg["NAME"]]
     return cls(
+        name=name,
         model_cfg=vfe_cfg,
         num_point_features=info.num_point_features,
         voxel_size=info.voxel_size,

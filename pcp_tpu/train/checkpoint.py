@@ -79,3 +79,24 @@ def load_params_from_file(path):
     """Weights-only load: returns {'params', 'batch_stats'}."""
     restored = load_checkpoint(path)
     return {"params": restored["params"], "batch_stats": restored.get("batch_stats", {})}
+
+
+def overlay_bev_maker_weights(variables, maker_name, agent_ckpt_path, logger=None):
+    """Copy a trained single-agent CenterPoint's vfe/map_to_bev/backbone_2d
+    weights into a frozen BEVMaker subtree (reference BEVMaker loads its own
+    checkpoint at build time, bev_maker.py:30-34)."""
+    agent_vars = load_params_from_file(agent_ckpt_path)
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow-ish copy
+    for coll in ("params", "batch_stats"):
+        if coll not in out or maker_name not in out[coll]:
+            continue
+        tgt = dict(out[coll][maker_name])
+        for sub in ("vfe", "map_to_bev", "backbone_2d"):
+            if sub in agent_vars.get(coll, {}) and sub in tgt:
+                tgt[sub] = agent_vars[coll][sub]
+                if logger is not None:
+                    logger.info(f"overlaid {coll}/{maker_name}/{sub} from {agent_ckpt_path}")
+        new_coll = dict(out[coll])
+        new_coll[maker_name] = tgt
+        out[coll] = new_coll
+    return out

@@ -105,10 +105,16 @@ def adam_onecycle(lr_fn, mom_fn, weight_decay, b2=0.99, eps=1e-8):
     return optax.GradientTransformation(init, update)
 
 
-def build_optimizer(optim_cfg, total_iters_each_epoch, total_epochs):
+def build_optimizer(optim_cfg, total_iters_each_epoch, total_epochs,
+                    frozen_substrings=("bev_maker",)):
     """Config-driven optimizer matching the reference ``build_optimizer`` +
     ``build_scheduler``. Returns (optax transform, lr_fn) — lr_fn is exposed
-    for logging."""
+    for logging.
+
+    Params whose tree path contains any of ``frozen_substrings`` get zero
+    updates (the reference freezes BEVMaker/Teacher sub-nets via
+    requires_grad=False; here stop_gradient keeps their grads zero and this
+    mask keeps weight decay off them too)."""
     total_steps = total_iters_each_epoch * total_epochs
     name = optim_cfg["OPTIMIZER"]
     clip = float(optim_cfg.get("GRAD_NORM_CLIP", 0) or 0)
@@ -141,4 +147,15 @@ def build_optimizer(optim_cfg, total_iters_each_epoch, total_epochs):
 
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+
+    if frozen_substrings:
+
+        def frozen_mask(params):
+            def mark(path, _):
+                pathstr = jax.tree_util.keystr(path)
+                return any(s in pathstr for s in frozen_substrings)
+
+            return jax.tree_util.tree_map_with_path(mark, params)
+
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
     return tx, lr_fn

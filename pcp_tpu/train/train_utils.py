@@ -24,9 +24,11 @@ def _to_device_batch(batch, mesh=None):
         "points": jnp.asarray(batch["points"], jnp.float32),
         "points_mask": jnp.asarray(batch["points_mask"]),
     }
-    for key in ("gt_boxes", "instances_tf"):
+    for key in ("gt_boxes", "instances_tf", "se3_from_ego_arr"):
         if key in batch:
             dev[key] = jnp.asarray(batch[key], jnp.float32)
+    if "agent_present" in batch:
+        dev["agent_present"] = jnp.asarray(batch["agent_present"])
     if mesh is not None:
         dev = shard_batch(mesh, dev)
     return dev

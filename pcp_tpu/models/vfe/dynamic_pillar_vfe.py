@@ -31,14 +31,19 @@ class PFNLayer(nn.Module):
     last_layer: bool = False
 
     @nn.compact
-    def __call__(self, x, pid_flat, valid_flat, num_segments, train=False):
+    def transform(self, x, valid_flat, train=False):
+        """Linear (no bias) -> BN(1e-3, 0.01, masked) -> ReLU."""
         out_ch = self.out_channels if self.last_layer else self.out_channels // 2
         x = nn.Dense(out_ch, use_bias=not self.use_norm, name="linear")(x)
         if self.use_norm:
             x = MaskedBatchNorm(momentum=0.01, epsilon=1e-3, name="norm")(
                 x, mask=valid_flat, use_running_average=not train
             )
-        x = nn.relu(x)
+        return nn.relu(x)
+
+    def __call__(self, x, pid_flat, valid_flat, num_segments, train=False):
+        out_ch = self.out_channels if self.last_layer else self.out_channels // 2
+        x = self.transform(x, valid_flat, train=train)
         # padding rows must not pollute the max-pool: route them to the drop slot
         pooled = jnp.zeros((num_segments, out_ch), dtype=x.dtype)
         pooled = pooled.at[pid_flat].max(x, mode="drop")
@@ -54,6 +59,10 @@ class DynamicPillarVFE(nn.Module):
     voxel_size: Sequence[float]
     grid_size: Sequence[int]
     point_cloud_range: Sequence[float]
+    # sorted pipeline: argsort by pillar id, segment reductions as segmented
+    # scans, dense BEV via the Pallas raster-order kernel. The legacy XLA
+    # scatter path is kept for differential testing (use_sorted=False).
+    use_sorted: bool = True
 
     def setup(self):
         cfg = self.model_cfg
@@ -75,6 +84,99 @@ class DynamicPillarVFE(nn.Module):
         self.num_bev_features = filters[-1]
 
     def __call__(self, batch, train=False):
+        if self.use_sorted:
+            return self._forward_sorted(batch, train)
+        return self._forward_scatter(batch, train)
+
+    # ------------------------------------------------------- sorted pipeline
+    def _coords_and_pid(self, points, mask):
+        cfg_range = jnp.asarray(self.point_cloud_range, dtype=jnp.float32)
+        vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+        nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
+        coords = jnp.floor((points[..., 0:2] - cfg_range[0:2]) / jnp.asarray([vx, vy])).astype(
+            jnp.int32
+        )
+        in_range = (
+            (coords[..., 0] >= 0)
+            & (coords[..., 0] < nx)
+            & (coords[..., 1] >= 0)
+            & (coords[..., 1] < ny)
+        )
+        valid = mask & in_range
+        coords = jnp.clip(coords, 0, jnp.asarray([nx - 1, ny - 1]))
+        pid = jnp.where(valid, coords[..., 1] * nx + coords[..., 0], nx * ny).astype(jnp.int32)
+        return coords, valid, pid
+
+    def _forward_sorted(self, batch, train=False):
+        from ...ops.pallas.bev_scatter import bev_scatter_max_sorted, use_interpret
+        from ...ops.sorted_segments import (
+            segment_end_index,
+            segment_total_to_points,
+            sort_by_pid,
+        )
+
+        vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+        nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
+        points = batch["points"][..., : self.num_raw_point_features]
+        mask = batch["points_mask"]
+        b, n = points.shape[0], points.shape[1]
+
+        coords, valid, pid = self._coords_and_pid(points, mask)
+        pid_s, (points_s, coords_s, valid_s), _ = sort_by_pid(
+            pid, [points, coords.astype(points.dtype), valid[..., None]]
+        )
+        valid_s = valid_s[..., 0].astype(bool)
+        end_idx = segment_end_index(pid_s)
+
+        xyz = points_s[..., 0:3]
+        ones = valid_s[..., None].astype(points.dtype)
+        sums = segment_total_to_points(xyz * ones, pid_s, jnp.add, end_idx)
+        cnt = segment_total_to_points(ones, pid_s, jnp.add, end_idx)
+        mean = sums / jnp.maximum(cnt, 1.0)
+        f_cluster = xyz - mean
+
+        x_offset = vx / 2 + float(self.point_cloud_range[0])
+        y_offset = vy / 2 + float(self.point_cloud_range[1])
+        z_offset = float(self.voxel_size[2]) / 2 + float(self.point_cloud_range[2])
+        f_center = jnp.stack(
+            [
+                xyz[..., 0] - (coords_s[..., 0] * vx + x_offset),
+                xyz[..., 1] - (coords_s[..., 1] * vy + y_offset),
+                xyz[..., 2] - z_offset,
+            ],
+            axis=-1,
+        )
+
+        if self.use_absolute_xyz:
+            feats = [points_s, f_cluster, f_center]
+        else:
+            feats = [points_s[..., 3:], f_cluster, f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        features = jnp.concatenate(feats, axis=-1)
+
+        flat_valid = valid_s.reshape(b * n)
+        pooled_pts = None
+        for pfn in self.pfn_layers:
+            x = pfn.transform(features.reshape(b * n, -1), flat_valid, train=train)
+            features = x.reshape(b, n, -1)
+            if pfn.last_layer:
+                pooled_pts = features
+            else:
+                back = segment_total_to_points(
+                    jnp.where(valid_s[..., None], features, 0.0), pid_s, jnp.maximum, end_idx
+                )
+                features = jnp.concatenate([features, back], axis=-1)
+
+        final = jnp.where(valid_s[..., None], pooled_pts, 0.0)
+        bev = bev_scatter_max_sorted(final, pid_s, ny, nx, interpret=use_interpret())
+
+        out = dict(batch)
+        out["pillar_features"] = bev.reshape(b, ny * nx, -1)
+        return out
+
+    # ------------------------------------------------ legacy scatter pipeline
+    def _forward_scatter(self, batch, train=False):
         cfg_range = jnp.asarray(self.point_cloud_range, dtype=jnp.float32)
         vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
         nx, ny = int(self.grid_size[0]), int(self.grid_size[1])

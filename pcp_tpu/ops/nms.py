@@ -111,6 +111,14 @@ def class_agnostic_nms(boxes, scores, valid_mask, nms_cfg, score_thresh=None):
     post_max = int(nms_cfg["NMS_POST_MAXSIZE"])
     normal = str(nms_cfg.get("NMS_TYPE", "nms_gpu")) == "nms_normal_gpu"
 
+    # implementation cap: the (K, K) IoU matrix cost is quadratic; candidates
+    # ranked below the top NMS_IMPL_MAX_CANDIDATES by score almost never
+    # survive (score threshold + post_max cap), so we restrict the matrix to
+    # them. Set to 0 to disable (exact reference semantics).
+    impl_cap = int(nms_cfg.get("NMS_IMPL_MAX_CANDIDATES", 256))
+    if impl_cap > 0:
+        pre_max = min(pre_max, impl_cap)
+
     k = boxes.shape[0]
     if k > pre_max:
         neg_inf = jnp.array(-jnp.inf, dtype=scores.dtype)

@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: sorted pillar features -> dense BEV (segment max).
+
+The flagship kernel of the pillar pipeline. XLA's scatter lowers to ~270 ns
+per update row on TPU (50+ ms for a 262k-point batch); this kernel exploits
+that the points are pre-sorted by pillar id, so the touched BEV rows appear in
+raster order:
+
+  * the grid walks output row-tiles in order; each tile's relevant points are
+    a contiguous range of the sorted array (per-tile start offsets computed
+    with one searchsorted on the XLA side, passed via scalar prefetch);
+  * pillar ids stream HBM -> SMEM in fixed chunks (scalar reads of dynamic
+    lane positions are illegal in VMEM — ids must be scalar memory);
+  * each grid step zeroes its (R*W, C) tile in VMEM and walks its point range
+    with dynamic-sublane max-accumulation (a few cycles per point instead of
+    an HBM round-trip per update), then the tile streams out coalesced;
+  * the per-sample feature block is reused across row-tiles (its block index
+    is constant in t, so Pallas skips the re-fetch).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 1024
+
+
+def _make_kernel(n, rw, c, chunk):
+    num_chunks = (n + chunk - 1) // chunk
+
+    def kernel(starts_ref, pids_hbm, feats_hbm, out_ref, pid_smem, feat_vmem, dma_sems):
+        # pids_hbm (B*N,) and feats_hbm (B*N, C) stay in HBM; each chunk of
+        # ids goes to SMEM (scalar reads) and features to a VMEM scratch
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        base = t * rw
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        start = starts_ref[b, t]
+        end = starts_ref[b, t + 1]
+
+        for k in range(num_chunks):
+            c0 = k * chunk
+
+            @pl.when((c0 < end) & (c0 + chunk > start))
+            def _process_chunk(c0=c0):
+                pid_copy = pltpu.make_async_copy(
+                    pids_hbm.at[pl.ds(b * n + c0, chunk)], pid_smem, dma_sems.at[0]
+                )
+                feat_copy = pltpu.make_async_copy(
+                    feats_hbm.at[pl.ds(b * n + c0, chunk), :], feat_vmem, dma_sems.at[1]
+                )
+                pid_copy.start()
+                feat_copy.start()
+                pid_copy.wait()
+                feat_copy.wait()
+
+                def body(j, _):
+                    i = c0 + j
+
+                    @pl.when((i >= start) & (i < end))
+                    def _():
+                        row = pid_smem[j] - base
+                        cur = out_ref[0, row, :]
+                        # feat rows are 128-lane padded for DMA alignment;
+                        # value-slice back to the real channel count
+                        out_ref[0, row, :] = jnp.maximum(cur, feat_vmem[j, :][:c])
+
+                    return _
+
+                jax.lax.fori_loop(0, chunk, body, None, unroll=False)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def bev_scatter_max_sorted(feats_sorted, pids_sorted, h, w, interpret=False):
+    """Args:
+        feats_sorted: (B, N, C) float — point features, sorted by pillar id
+            within each sample (invalid/padding points must sort last with
+            pid == h*w).
+        pids_sorted: (B, N) int32 — sorted flat pillar ids in [0, h*w]; h*w
+            marks padding.
+    Returns:
+        (B, h, w, C) max-pooled dense BEV (empty pillars = 0).
+    """
+    b, n, c = feats_sorted.shape
+    chunk = min(CHUNK, n)
+    if n % chunk:  # pad to a whole number of chunks; pads carry pid == h*w
+        pad_n = chunk - n % chunk
+        feats_sorted = jnp.pad(feats_sorted, ((0, 0), (0, pad_n), (0, 0)))
+        pids_sorted = jnp.pad(pids_sorted, ((0, 0), (0, pad_n)), constant_values=h * w)
+        n = n + pad_n
+    rows_per_tile = max(1, min(32, 2 * 1024 * 1024 // max(w * c * 4, 1)))
+    while h % rows_per_tile != 0:
+        rows_per_tile -= 1
+    t = h // rows_per_tile
+    rw = rows_per_tile * w
+
+    c_pad = -(-c // 128) * 128
+    boundaries = jnp.arange(t + 1, dtype=jnp.int32) * rw
+    starts = jax.vmap(lambda p: jnp.searchsorted(p, boundaries, side="left"))(
+        pids_sorted
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # flat (B*N,) ids in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # flat (B*N, C) feats in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rw, c), lambda bi, ti, s: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.VMEM((chunk, c_pad), feats_sorted.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    feats_flat = feats_sorted.reshape(b * n, c)
+    if c_pad != c:
+        feats_flat = jnp.pad(feats_flat, ((0, 0), (0, c_pad - c)))
+    out = pl.pallas_call(
+        _make_kernel(n, rw, c, chunk),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), feats_sorted.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, pids_sorted.reshape(-1), feats_flat)
+    return out.reshape(b, h, w, c)
+
+
+def use_interpret():
+    """Pallas TPU kernels need a TPU; interpret elsewhere (tests on CPU)."""
+    return jax.default_backend() not in ("tpu", "axon")

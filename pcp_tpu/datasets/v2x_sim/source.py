@@ -285,22 +285,12 @@ class SyntheticV2XSource:
 
 
 def _points_in_boxes_np(points_xyz, boxes):
-    """First containing-box index per point, -1 if none (numpy host version of
-    the CUDA points_in_boxes, center-z convention)."""
-    n = points_xyz.shape[0]
-    out = -np.ones(n, dtype=np.int64)
-    for i, b in enumerate(boxes):
-        rel = points_xyz - b[:3]
-        c, s = np.cos(b[6]), np.sin(b[6])
-        lx = c * rel[:, 0] + s * rel[:, 1]
-        ly = -s * rel[:, 0] + c * rel[:, 1]
-        inside = (
-            (np.abs(rel[:, 2]) <= b[5] / 2)
-            & (np.abs(lx) < b[3] / 2 + 1e-5)
-            & (np.abs(ly) < b[4] / 2 + 1e-5)
-        )
-        out[(out < 0) & inside] = i
-    return out
+    """First containing-box index per point, -1 if none (center-z convention,
+    matching the CUDA points_in_boxes). Dispatches to the native C++ kernel
+    when built."""
+    from ...native import points_in_boxes_np
+
+    return points_in_boxes_np(np.asarray(points_xyz), np.asarray(boxes))
 
 
 class NuScenesV2XSource:

@@ -96,19 +96,13 @@ def get_pseudo_sweeps_of_1lidar(
             axis=1,
         ).reshape(-1, 4, 4)
 
-        batch_pts = np.tile(pts_of_box[None], (num_sweeps, 1, 1))
-        batch_pts[:, :, :3] = (
-            np.einsum("sij,spj->spi", lidar_se3_histo[:, :3, :3], batch_pts[:, :, :3])
-            + lidar_se3_histo[:, None, :3, 3]
-        )
-        n_pts = pts_of_box.shape[0]
-        tl = np.tile(timelags[:, None, None], (1, n_pts, 1))
-        si = np.tile(sweep_indices[:, None, None].astype(np.float64), (1, n_pts, 1))
-        ii = np.zeros_like(si) + inst_idx
-        batch_pts = np.concatenate([batch_pts, tl, si, ii], axis=-1)  # (S, n, 7)
+        # native sweep expansion (C++ when built; numpy fallback inside)
+        from ...native import sweep_expand
+
+        expanded = sweep_expand(pts_of_box[:, :4], lidar_se3_histo, timelags, inst_idx)
 
         inst_tf = np.einsum("ij,sjk->sik", lidar_se3_histo[-1], np.linalg.inv(lidar_se3_histo))
-        sim_points.append(batch_pts.reshape(-1, 7))
+        sim_points.append(expanded)
         instances_tf.append(inst_tf[None])
 
     if sim_points:

@@ -194,6 +194,18 @@ class HunterJr(nn.Module):
         )
         out["spatial_features_2d"] = fused
 
+        if train and "teacher_spatial_features_2d" in batch:
+            # NOTE: the reference computes this but never adds it to the total
+            # loss (hunter_jr.py:353-367 stores it; get_training_loss omits
+            # it) — mirrored here: diagnostic only.
+            teacher = batch["teacher_spatial_features_2d"]
+            tmask = jnp.linalg.norm(teacher, axis=-1) > 1e-3
+            diff = fused - teacher
+            sl1 = jnp.sum(jnp.where(jnp.abs(diff) < 1, 0.5 * diff * diff, jnp.abs(diff) - 0.5), axis=-1)
+            l_dtl_bev = jnp.sum(jnp.where(tmask, sl1, 0.0)) / jnp.maximum(jnp.sum(tmask), 1)
+            if "corrector_tb" in out:
+                out["corrector_tb"] = dict(out["corrector_tb"], l_dtl_bev_img=l_dtl_bev)
+
         if train and "gt_boxes" in batch:
             # reference drops out-of-range gt before the dense head
             # (hunter_toolbox.remove_gt_boxes_outside_range); static-shape

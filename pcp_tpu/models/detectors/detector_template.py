@@ -76,6 +76,10 @@ class Detector3DTemplate(nn.Module):
         for name in ("BEV_MAKER_RSU", "BEV_MAKER_CAR", "BEV_MAKER_EARLY"):
             if cfg.get(name) is not None:
                 modules.append(build_bev_maker(cfg[name], info, role=name.lower()))
+        if cfg.get("TEACHER") is not None:
+            from ..bev_layers.teacher import Teacher
+
+            modules.append(Teacher(model_cfg=cfg["TEACHER"], info=info, name="teacher"))
 
         if cfg.get("VFE") is not None:
             vfe = build_vfe(cfg["VFE"], info)

@@ -106,7 +106,7 @@ def adam_onecycle(lr_fn, mom_fn, weight_decay, b2=0.99, eps=1e-8):
 
 
 def build_optimizer(optim_cfg, total_iters_each_epoch, total_epochs,
-                    frozen_substrings=("bev_maker",)):
+                    frozen_substrings=("bev_maker", "teacher")):
     """Config-driven optimizer matching the reference ``build_optimizer`` +
     ``build_scheduler``. Returns (optax transform, lr_fn) — lr_fn is exposed
     for logging.

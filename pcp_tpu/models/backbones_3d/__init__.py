@@ -1,12 +1,14 @@
-__all__ = {}
+from .spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+
+__all__ = {
+    "VoxelBackBone8x": VoxelBackBone8x,
+    "VoxelResBackBone8x": VoxelResBackBone8x,
+}
 
 
-def build_backbone_3d(cfg, info, num_point_features):
+def build_backbone_3d(cfg, info, num_point_features, name="backbone_3d"):
     try:
         cls = __all__[cfg["NAME"]]
     except KeyError:
-        raise NotImplementedError(
-            f"BACKBONE_3D {cfg['NAME']!r} is not implemented in pcp_tpu yet "
-            f"(sparse 3D backbones land with the v2x_second_* configs)"
-        )
-    return cls(model_cfg=cfg, info=info, num_point_features=num_point_features)
+        raise NotImplementedError(f"BACKBONE_3D {cfg['NAME']!r} is not implemented in pcp_tpu")
+    return cls(model_cfg=cfg, info=info, num_point_features=num_point_features, name=name)

@@ -84,7 +84,12 @@ class Detector3DTemplate(nn.Module):
         if cfg.get("VFE") is not None:
             vfe = build_vfe(cfg["VFE"], info)
             modules.append(vfe)
-            num_point_features = int(list(cfg["VFE"]["NUM_FILTERS"])[-1])
+            if cfg["VFE"].get("NUM_FILTERS"):  # PFN output; mean VFEs keep raw width
+                num_point_features = int(list(cfg["VFE"]["NUM_FILTERS"])[-1])
+            else:
+                num_point_features = int(
+                    cfg["VFE"].get("NUM_POINT_FEATURES", info.num_point_features)
+                )
         if cfg.get("BACKBONE_3D") is not None:
             b3d = build_backbone_3d(cfg["BACKBONE_3D"], info, num_point_features)
             modules.append(b3d)

@@ -95,6 +95,7 @@ def topk_heatmap(scores, k):
         score, flat_ind (into H*W), class_id, y, x — each (B, k).
     """
     b, h, w, c = scores.shape
+    k = min(k, h * w)  # tiny feature maps (tests/small grids) cap k
     s = jnp.transpose(scores, (0, 3, 1, 2)).reshape(b, c, h * w)
     cls_score, cls_ind = jax.lax.top_k(s, k)  # (B, C, k)
     ys = (cls_ind // w).astype(jnp.float32)
@@ -119,6 +120,7 @@ def decode_bbox_from_heatmap(
     mask).
     """
     b, h, w, _ = heatmap.shape
+    k = min(k, h * w)
     scores, inds, class_ids, ys, xs = topk_heatmap(heatmap, k)
 
     def gather_feat(feat):

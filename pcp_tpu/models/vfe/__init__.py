@@ -1,8 +1,11 @@
 from .dynamic_pillar_vfe import DynamicPillarVFE
+from .dynamic_mean_vfe import DynamicMeanVFE
 
 __all__ = {
     "DynPillarVFE": DynamicPillarVFE,
     "DynamicPillarVFE": DynamicPillarVFE,
+    "DynMeanVFE": DynamicMeanVFE,
+    "DynamicMeanVFE": DynamicMeanVFE,
 }
 
 

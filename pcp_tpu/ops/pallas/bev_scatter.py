@@ -75,8 +75,38 @@ def _make_kernel(n, rw, c, chunk):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("h", "w", "interpret"))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def bev_scatter_max_sorted(feats_sorted, pids_sorted, h, w, interpret=False):
+    """Differentiable wrapper: forward runs the kernel; backward routes each
+    output cell's cotangent to the points achieving the max (ties all receive
+    it — a valid subgradient; torch_scatter picks one winner). Requires
+    feats >= 0 (post-ReLU), matching the reference PFN, since empty cells
+    hold 0."""
+    return _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret)
+
+
+def _bev_fwd(feats_sorted, pids_sorted, h, w, interpret):
+    out = _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret)
+    return out, (feats_sorted, pids_sorted, out)
+
+
+def _bev_bwd(h, w, interpret, res, g):
+    feats, pids, out = res
+    b, n, c = feats.shape
+    flat_out = out.reshape(b, h * w, c)
+    flat_g = g.reshape(b, h * w, c)
+    safe_pid = jnp.clip(pids, 0, h * w - 1)[..., None]
+    cell_max = jnp.take_along_axis(flat_out, safe_pid, axis=1)
+    cell_g = jnp.take_along_axis(flat_g, safe_pid, axis=1)
+    is_max = (feats == cell_max) & (pids < h * w)[..., None]
+    return (jnp.where(is_max, cell_g, 0.0), None)
+
+
+bev_scatter_max_sorted.defvjp(_bev_fwd, _bev_bwd)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
     """Args:
         feats_sorted: (B, N, C) float — point features, sorted by pillar id
             within each sample (invalid/padding points must sort last with

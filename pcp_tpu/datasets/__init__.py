@@ -2,6 +2,7 @@
 pcdet/datasets/__init__.py:54-84)."""
 from .dataset import DatasetTemplate
 from .loader import DataLoader
+from .nuscenes import NuScenesDataset
 from .v2x_sim import (
     V2XSimDataset_RSU,
     V2XSimDataset_CAR,
@@ -13,6 +14,7 @@ from .v2x_sim import (
 
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
+    "NuScenesDataset": NuScenesDataset,
     "V2XSimDataset_RSU": V2XSimDataset_RSU,
     "V2XSimDataset_CAR": V2XSimDataset_CAR,
     "V2XSimDataset_EGO": V2XSimDataset_EGO,
@@ -25,14 +27,17 @@ __all__ = {
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False, root_path=None,
                      workers=4, seed=None, logger=None, training=True,
                      merge_all_iters_to_one_epoch=False, total_epochs=0, source=None):
-    dataset = __all__[dataset_cfg["DATASET"]](
+    cls = __all__[dataset_cfg["DATASET"]]
+    kwargs = dict(
         dataset_cfg=dataset_cfg,
         class_names=class_names,
         root_path=root_path,
         training=training,
         logger=logger,
-        source=source,
     )
+    if dataset_cfg["DATASET"].startswith("V2XSim"):
+        kwargs["source"] = source
+    dataset = cls(**kwargs)
     if merge_all_iters_to_one_epoch:
         dataset._merge_all_iters_to_one_epoch = True
         dataset.total_epochs = total_epochs

@@ -52,13 +52,25 @@ class AverageMeter:
 
 
 def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=None,
-                    tb_writer=None, log_interval=50, step_fn=None):
+                    tb_writer=None, log_interval=50, step_fn=None, profile_dir=None,
+                    profile_steps=(5, 8)):
+    """profile_dir: capture a jax.profiler device trace for steps
+    [profile_steps[0], profile_steps[1]) of epoch 0 (the reference had only
+    wall-clock meters; TPU traces are the native observability tool)."""
     step_fn = step_fn or make_train_step(model, tx)
     data_time, step_time = AverageMeter(), AverageMeter()
     losses = AverageMeter()
     end = time.time()
     it = 0
+    profiling = False
     for batch in train_loader:
+        if profile_dir is not None and epoch == 0:
+            if it == profile_steps[0] and not profiling:
+                jax.profiler.start_trace(str(profile_dir))
+                profiling = True
+            elif it == profile_steps[1] and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         data_time.update(time.time() - end)
         dev_batch = _to_device_batch(batch, mesh)
         state, loss, tb = step_fn(state, dev_batch)
@@ -80,11 +92,14 @@ def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=Non
                     pass
         it += 1
         end = time.time()
+    if profiling:
+        jax.profiler.stop_trace()
     return state, losses.avg, step_fn
 
 
 def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=None,
-                mesh=None, max_ckpt_save_num=30, start_epoch=0, tb_writer=None):
+                mesh=None, max_ckpt_save_num=30, start_epoch=0, tb_writer=None,
+                profile_dir=None):
     step_fn = make_train_step(model, tx)
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
@@ -95,7 +110,7 @@ def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=N
         train_loader.set_epoch(epoch)
         state, avg_loss, step_fn = train_one_epoch(
             model, state, tx, train_loader, epoch, logger=logger, mesh=mesh,
-            tb_writer=tb_writer, step_fn=step_fn,
+            tb_writer=tb_writer, step_fn=step_fn, profile_dir=profile_dir,
         )
         save_checkpoint(
             state, ckpt_dir, epoch + 1, int(state.step),

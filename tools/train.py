@@ -36,6 +36,7 @@ def parse_config():
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--fix_random_seed", action="store_true", default=False)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--profile", action="store_true", help="capture a jax.profiler trace of early steps")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -96,6 +97,7 @@ def main():
     train_model(
         model, state, tx, train_loader, epochs, ckpt_dir, logger=logger,
         max_ckpt_save_num=args.max_ckpt_save_num, start_epoch=start_epoch,
+        profile_dir=(output_dir / "profile") if args.profile else None,
     )
     logger.info("**********************Training done**********************")
 

@@ -93,11 +93,20 @@ def main():
         state, start_epoch, _ = load_checkpoint(resume_from, state)
         logger.info(f"resumed from {resume_from} (epoch {start_epoch})")
 
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(log_dir=str(output_dir / "tensorboard"))
+    except Exception:
+        logger.info("tensorboard writer unavailable; scalars go to the log only")
+
     logger.info("**********************Start training**********************")
     train_model(
         model, state, tx, train_loader, epochs, ckpt_dir, logger=logger,
         max_ckpt_save_num=args.max_ckpt_save_num, start_epoch=start_epoch,
         profile_dir=(output_dir / "profile") if args.profile else None,
+        tb_writer=tb_writer,
     )
     logger.info("**********************Training done**********************")
 

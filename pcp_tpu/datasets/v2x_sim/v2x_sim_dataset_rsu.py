@@ -23,12 +23,15 @@ class V2XSimDataset_RSU(DatasetTemplate):
 
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None, logger=None, source=None):
         root_path = Path(root_path) if root_path is not None else Path(dataset_cfg["DATA_PATH"])
-        if not root_path.exists():
-            # configured path absent (e.g. reference-style ../data/v2x-sim):
-            # anchor the synthetic/cache tree inside the repo instead
+        if not root_path.is_absolute():
+            # reference-style relative paths (../data/v2x-sim, resolved against
+            # tools/) are anchored at the repo root here — never at the CWD
             from ...config import ROOT_DIR
 
-            root_path = ROOT_DIR / "data" / "v2x-sim"
+            stripped = str(root_path)
+            while stripped.startswith("../"):
+                stripped = stripped[3:]
+            root_path = ROOT_DIR / stripped
         root_path = root_path / dataset_cfg["VERSION"]
         super().__init__(dataset_cfg, class_names, training, root_path, logger)
         self._prefix = "mini" if "mini" in dataset_cfg["VERSION"] else "full"

@@ -86,6 +86,29 @@ def splat_gaussians(centers, radii, class_ids, valid, num_classes, size_xy, patc
     return hm.reshape(h, w, num_classes)
 
 
+def circle_nms(dets, thresh, post_max_size=83):
+    """Center-distance NMS (host numpy; reference centernet_utils.py:79-113).
+
+    Args:
+        dets: (N, 3) x, y, score.
+    Returns kept indices (descending score), capped at post_max_size.
+    """
+    import numpy as np
+
+    dets = np.asarray(dets)
+    order = np.argsort(-dets[:, 2])
+    suppressed = np.zeros(len(dets), dtype=bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        d2 = (dets[i, 0] - dets[:, 0]) ** 2 + (dets[i, 1] - dets[:, 1]) ** 2
+        suppressed |= d2 <= thresh
+        suppressed[i] = True
+    return np.asarray(keep[:post_max_size], dtype=np.int64)
+
+
 def topk_heatmap(scores, k):
     """Per-class then global top-k (reference _topk, centernet_utils.py:134-149).
 

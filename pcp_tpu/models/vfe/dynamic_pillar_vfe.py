@@ -130,9 +130,12 @@ class DynamicPillarVFE(nn.Module):
 
         xyz = points_s[..., 0:3]
         ones = valid_s[..., None].astype(points.dtype)
-        sums = segment_total_to_points(xyz * ones, pid_s, jnp.add, end_idx)
-        cnt = segment_total_to_points(ones, pid_s, jnp.add, end_idx)
-        mean = sums / jnp.maximum(cnt, 1.0)
+        # one fused 4-channel scan: [sum xyz | count] (channels pad to 128
+        # lanes anyway, so the extra channel is free)
+        sc = segment_total_to_points(
+            jnp.concatenate([xyz * ones, ones], axis=-1), pid_s, jnp.add, end_idx
+        )
+        mean = sc[..., :3] / jnp.maximum(sc[..., 3:4], 1.0)
         f_cluster = xyz - mean
 
         x_offset = vx / 2 + float(self.point_cloud_range[0])

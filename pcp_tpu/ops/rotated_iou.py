@@ -158,7 +158,11 @@ def _pair_overlap_bev(box_a, box_b):
 
 
 def _pair_overlap_bev_sorted(box_a, box_b):
-    """Overlap area of two rotated BEV rectangles. box_a/box_b: (7,) -> scalar."""
+    """Overlap area of two rotated BEV rectangles via candidate points +
+    angular sort — the original scalar formulation, kept as an independent
+    second implementation for cross-checks (production path is the SoA
+    ``boxes_overlap_bev``; scalar SH variant is ``_pair_overlap_bev``).
+    box_a/box_b: (7,) -> scalar."""
     ca = box_corners_bev(box_a[None])[0]  # (4, 2)
     cb = box_corners_bev(box_b[None])[0]
 

@@ -20,8 +20,10 @@ class HeightCompression(nn.Module):
         nz, ny, nx = batch["encoded_spconv_dims"]
         dense = sparse_to_dense(ids, feats, (nz, ny, nx))  # (B, nz, ny, nx, C)
         b = dense.shape[0]
-        # fold D into C: (B, ny, nx, nz * C)
-        bev = jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, ny, nx, -1)
+        # fold D into C, channel-major (channel = c * nz + z) to match the
+        # reference's view(N, C*D, H, W) ordering — keeps torch_converter
+        # parity for the first 2D conv of SECOND models
+        bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, ny, nx, -1)
         assert bev.shape[-1] == int(self.model_cfg["NUM_BEV_FEATURES"]), (
             bev.shape, self.model_cfg["NUM_BEV_FEATURES"],
         )

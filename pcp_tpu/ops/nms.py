@@ -24,20 +24,35 @@ from .rotated_iou import boxes_iou_bev, boxes_iou_normal
 
 
 def _greedy_suppress(iou, valid, thresh):
-    """iou: (K, K); valid: (K,) bool, in score-sorted order. Returns keep mask (K,)."""
+    """iou: (K, K); valid: (K,) bool, in score-sorted order. Returns keep mask (K,).
+
+    Exact greedy semantics (a box is kept iff no higher-scoring kept box
+    overlaps it above the threshold) computed by Jacobi fixed-point iteration
+    instead of a K-step sequential loop: the recurrence
+    ``keep_i = valid_i & not any(keep_j & over[i, j] for j < i)`` only depends
+    on lower indices, so after t sweeps every box whose suppression-chain
+    depth is < t holds its final value, and the unique fixed point IS the
+    greedy solution. Chains are short in practice (< ~10), so this converges
+    in a handful of O(K^2) vectorized sweeps — far cheaper on TPU than K
+    sequential fori_loop steps of scalar work.
+    """
     k = iou.shape[0]
-    over = iou > thresh
+    idx = jnp.arange(k)
+    # over[i, j]: valid j (j < i in score order) overlaps i above threshold
+    over = (iou > thresh) & (idx[None, :] < idx[:, None]) & valid[None, :]
 
-    def body(i, state):
-        suppressed, keep = state
-        keep_i = valid[i] & ~suppressed[i]
-        keep = keep.at[i].set(keep_i)
-        suppressed = suppressed | (keep_i & over[i])
-        return suppressed, keep
+    def cond(state):
+        _, changed = state
+        return changed
 
-    suppressed0 = jnp.zeros((k,), dtype=bool)
-    keep0 = jnp.zeros((k,), dtype=bool)
-    _, keep = jax.lax.fori_loop(0, k, body, (suppressed0, keep0))
+    def body(state):
+        keep, _ = state
+        new_keep = valid & ~jnp.any(over & keep[None, :], axis=1)
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep0 = valid
+    keep1 = valid & ~jnp.any(over & keep0[None, :], axis=1)
+    keep, _ = jax.lax.while_loop(cond, body, (keep1, jnp.any(keep1 != keep0)))
     return keep
 
 
@@ -86,7 +101,10 @@ def nms_bev_mask(boxes, scores, valid_mask, thresh, post_max_size=83):
     order (True for at most the ``post_max_size`` highest-scoring survivors)."""
     keep_idx, _ = nms_bev(boxes, scores, valid_mask, thresh, post_max_size=post_max_size)
     mask = jnp.zeros((boxes.shape[0],), dtype=bool)
-    mask = mask.at[jnp.clip(keep_idx, 0, boxes.shape[0])].set(keep_idx >= 0, mode="drop")
+    # padding rows (-1) are routed to an out-of-bounds index and dropped, so
+    # they can never clobber the entry for input index 0
+    safe_idx = jnp.where(keep_idx >= 0, keep_idx, boxes.shape[0])
+    mask = mask.at[safe_idx].set(True, mode="drop")
     return mask
 
 

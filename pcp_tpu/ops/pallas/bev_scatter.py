@@ -77,11 +77,11 @@ def _make_kernel(n, rw, c, chunk):
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def bev_scatter_max_sorted(feats_sorted, pids_sorted, h, w, interpret=False):
-    """Differentiable wrapper: forward runs the kernel; backward routes each
-    output cell's cotangent to the points achieving the max (ties all receive
-    it — a valid subgradient; torch_scatter picks one winner). Requires
-    feats >= 0 (post-ReLU), matching the reference PFN, since empty cells
-    hold 0."""
+    """Differentiable wrapper: forward runs the kernel; backward splits each
+    output cell's cotangent evenly across the points tying the max (a valid
+    subgradient with weights summing to 1; torch_scatter picks one winner).
+    Requires feats >= 0 (post-ReLU), matching the reference PFN, since empty
+    cells hold 0."""
     return _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret)
 
 
@@ -99,7 +99,14 @@ def _bev_bwd(h, w, interpret, res, g):
     cell_max = jnp.take_along_axis(flat_out, safe_pid, axis=1)
     cell_g = jnp.take_along_axis(flat_g, safe_pid, axis=1)
     is_max = (feats == cell_max) & (pids < h * w)[..., None]
-    return (jnp.where(is_max, cell_g, 0.0), None)
+    # split the cotangent across ties so the per-cell gradient weights sum to
+    # 1 (ties at 0.0 are common post-ReLU; routing the full cotangent to every
+    # tied point would overcount). pids are sorted, so the tie count is a
+    # sorted-segment sum (no scatter).
+    from ..sorted_segments import segment_total_to_points
+
+    ties = segment_total_to_points(is_max.astype(feats.dtype), pids, jnp.add)
+    return (jnp.where(is_max, cell_g / jnp.maximum(ties, 1.0), 0.0), None)
 
 
 bev_scatter_max_sorted.defvjp(_bev_fwd, _bev_bwd)

@@ -230,21 +230,136 @@ def _bitonic_sort_axis0(key, vals):
     return key, vals
 
 
+def _edge_clip_contrib(boxes_a, boxes_b, inset):
+    """Sum of shoelace cross-contributions of A's edges clipped to box B.
+
+    For every (i, j) pair: transform A_i's corners into B_j's local frame,
+    clip each of the 4 CCW edges against the axis-aligned rectangle
+    |x| <= dxB/2 - inset, |y| <= dyB/2 - inset (slab / Liang-Barsky), and sum
+    cross(p0 - o, p1 - o) over the clipped segments, with o the midpoint of
+    the two box centers (expressed in B's frame). Rotation preserves cross
+    products, so contributions from different local frames add up coherently.
+
+    Args:
+        boxes_a: (N, 7), boxes_b: (M, 7), inset: scalar boundary inset for B.
+    Returns:
+        (N, M) summed cross contributions (= 2x the signed area swept by
+        A-edge portions inside B, CCW positive).
+    """
+    big = jnp.asarray(1e9, boxes_a.dtype)
+
+    xa, ya, yawa = boxes_a[:, 0][:, None], boxes_a[:, 1][:, None], boxes_a[:, 6][:, None]
+    dxa, dya = boxes_a[:, 3][:, None], boxes_a[:, 4][:, None]
+    xb, yb, yawb = boxes_b[:, 0][None, :], boxes_b[:, 1][None, :], boxes_b[:, 6][None, :]
+    dxb, dyb = boxes_b[:, 3][None, :], boxes_b[:, 4][None, :]
+
+    # A's center and axes in B's local frame
+    cb_, sb_ = jnp.cos(yawb), jnp.sin(yawb)
+    rx, ry = xa - xb, ya - yb
+    tx = cb_ * rx + sb_ * ry            # (N, M) A-center in B frame
+    ty = -sb_ * rx + cb_ * ry
+    th = yawa - yawb
+    ct, st = jnp.cos(th), jnp.sin(th)
+
+    hx = dxb * 0.5 - inset
+    hy = dyb * 0.5 - inset
+    # reference point o = midpoint of centers, in B frame = t/2
+    ox, oy = tx * 0.5, ty * 0.5
+
+    # CCW local corners of A: (+,+), (-,+), (-,-), (+,-) scaled by half-dims
+    lxs = (0.5, -0.5, -0.5, 0.5)
+    lys = (0.5, 0.5, -0.5, -0.5)
+    cxs, cys = [], []
+    for k in range(4):
+        lx = dxa * lxs[k]
+        ly = dya * lys[k]
+        cxs.append(tx + lx * ct - ly * st)
+        cys.append(ty + lx * st + ly * ct)
+
+    total = jnp.zeros_like(tx)
+    for k in range(4):
+        x0, y0 = cxs[k], cys[k]
+        x1, y1 = cxs[(k + 1) % 4], cys[(k + 1) % 4]
+        dx, dy = x1 - x0, y1 - y0
+
+        # x-slab
+        par_x = jnp.abs(dx) < EPS
+        inv_dx = 1.0 / jnp.where(par_x, EPS, dx)
+        t1x = (-hx - x0) * inv_dx
+        t2x = (hx - x0) * inv_dx
+        in_x = jnp.abs(x0) <= hx
+        txmin = jnp.where(par_x, jnp.where(in_x, -big, big), jnp.minimum(t1x, t2x))
+        txmax = jnp.where(par_x, jnp.where(in_x, big, -big), jnp.maximum(t1x, t2x))
+        # y-slab
+        par_y = jnp.abs(dy) < EPS
+        inv_dy = 1.0 / jnp.where(par_y, EPS, dy)
+        t1y = (-hy - y0) * inv_dy
+        t2y = (hy - y0) * inv_dy
+        in_y = jnp.abs(y0) <= hy
+        tymin = jnp.where(par_y, jnp.where(in_y, -big, big), jnp.minimum(t1y, t2y))
+        tymax = jnp.where(par_y, jnp.where(in_y, big, -big), jnp.maximum(t1y, t2y))
+
+        t0 = jnp.maximum(jnp.maximum(txmin, tymin), 0.0)
+        t1 = jnp.minimum(jnp.minimum(txmax, tymax), 1.0)
+        hit = t1 > t0
+
+        ux = x0 + t0 * dx - ox
+        uy = y0 + t0 * dy - oy
+        vx = x0 + t1 * dx - ox
+        vy = y0 + t1 * dy - oy
+        total = total + jnp.where(hit, ux * vy - uy * vx, 0.0)
+    return total
+
+
 def boxes_overlap_bev(boxes_a, boxes_b):
-    """Pairwise rotated BEV overlap area, TPU-layout-native.
+    """Pairwise rotated BEV overlap area by edge clipping, TPU-layout-native.
 
-    The per-pair polygon algebra is laid out struct-of-arrays: every candidate
-    vertex quantity is a (24, N, M) plane so the (N, M) pair grid fills the
-    VPU lanes/sublanes and the tiny 24-slot vertex axis is the *leading* axis
-    (a naive per-pair (8, 2) buffer layout pads each pair to a full 128-lane
-    tile — a ~64x memory blowup that made the 500x500 NMS IoU matrix take
-    seconds). The angular sort runs along axis 0 via ``lax.sort``: a compare-
-    exchange network of full-plane min/max ops, no cross-lane traffic.
+    Semantics match the reference CUDA kernel's polygon-intersection area
+    (/root/reference/pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu:110-230),
+    computed by a different (sort-free) exact algorithm: the boundary of
+    A ∩ B consists of the portions of A's edges inside B plus the portions
+    of B's edges inside A, and the shoelace formula is additive per directed
+    edge about any common origin — so the area is the sum of per-edge clipped
+    cross-contributions, no angular sort of intersection vertices needed.
+    Every op is elementwise over the (N, M) pair grid (VPU-friendly); the
+    per-pair cost is ~4x cheaper than the candidate-sort formulation (kept as
+    ``_boxes_overlap_bev_sorted_soa`` for cross-checks).
 
-    Algorithm (same as the reference CUDA kernel, iou3d_nms_kernel.cu:110-230):
-    candidates = corners of A inside B + corners of B inside A + the 16
-    edge-pair intersections; sort valid candidates by angle around their
-    centroid; shoelace.
+    Coincident-boundary cases (identical boxes, shared edges — common in
+    late-fusion dedup) would double- or single-count coincident segments, so
+    we average two runs: one clipping against an ``inset``-shrunk B / full A,
+    one against full B / shrunk A. In general position both runs are exact
+    (up to O(inset) endpoint shift); for coincident boundaries the traversal
+    directions make the spurious terms cancel and each boundary count once.
+
+    Args:
+        boxes_a: (N, 7), boxes_b: (M, 7)
+    Returns:
+        (N, M) overlap areas.
+    """
+    inset = jnp.asarray(1e-4, boxes_a.dtype)
+    zero = jnp.asarray(0.0, boxes_a.dtype)
+    # run1: A edges vs shrunk B, B edges vs full A
+    # run2: A edges vs full B,  B edges vs shrunk A
+    # B-edge contributions are computed in A's frame; cross products are
+    # rotation-invariant and both runs share origin o = midpoint of centers.
+    a_shrunk = _edge_clip_contrib(boxes_a, boxes_b, inset)
+    a_full = _edge_clip_contrib(boxes_a, boxes_b, zero)
+    b_shrunk = _edge_clip_contrib(boxes_b, boxes_a, inset).T
+    b_full = _edge_clip_contrib(boxes_b, boxes_a, zero).T
+    area2 = 0.5 * ((a_shrunk + b_full) + (a_full + b_shrunk))  # 2 x area
+    area = 0.5 * area2
+    max_area = jnp.minimum(
+        (boxes_a[:, 3] * boxes_a[:, 4])[:, None],
+        (boxes_b[:, 3] * boxes_b[:, 4])[None, :],
+    )
+    return jnp.clip(area, zero, max_area)
+
+
+def _boxes_overlap_bev_sorted_soa(boxes_a, boxes_b):
+    """Candidate-vertex + angular-sort formulation (struct-of-arrays layout,
+    explicit bitonic network) — the round-1 production path, kept as an
+    independent second implementation for differential tests.
 
     Args:
         boxes_a: (N, 7), boxes_b: (M, 7)

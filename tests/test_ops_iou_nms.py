@@ -145,3 +145,37 @@ class TestPointsInBoxes:
         p_off = np.array([[1.8, 0.0, 0.0]], dtype=np.float32)
         m = np.asarray(points_in_boxes_mask(jnp.asarray(np.vstack([p_along, p_off])), jnp.asarray(boxes)))
         assert m[0, 0] and not m[1, 0]
+
+
+class TestNMSMask:
+    def test_index_zero_kept_with_padding(self):
+        """Regression: padding keep_idx rows (-1) must not clobber the mask
+        entry for input index 0 (ADVICE r1, medium)."""
+        from pcp_tpu.ops.nms import nms_bev_mask
+
+        boxes = np.zeros((2, 7), dtype=np.float32)
+        boxes[0, 0:2] = [0.0, 0.0]
+        boxes[1, 0:2] = [30.0, 30.0]  # disjoint: both survive
+        boxes[:, 3:6] = [4.0, 2.0, 1.5]
+        scores = np.array([0.9, 0.8], dtype=np.float32)
+        valid = np.ones(2, dtype=bool)
+        mask = np.asarray(
+            nms_bev_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.2, post_max_size=83)
+        )
+        assert mask.tolist() == [True, True]
+
+    def test_mask_matches_idx(self, rng):
+        from pcp_tpu.ops.nms import nms_bev_mask
+
+        boxes = random_boxes(rng, 32, scale=10.0)
+        scores = rng.uniform(0.1, 1.0, size=32).astype(np.float32)
+        valid = np.ones(32, dtype=bool)
+        keep_idx, _ = nms_bev(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.2, post_max_size=32
+        )
+        mask = np.asarray(
+            nms_bev_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.2, post_max_size=32)
+        )
+        want = np.zeros(32, dtype=bool)
+        want[[int(i) for i in np.asarray(keep_idx) if i >= 0]] = True
+        assert (mask == want).all()

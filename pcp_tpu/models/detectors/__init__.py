@@ -1,9 +1,12 @@
 from .centerpoint import CenterPoint
 from .detector_template import Detector3DTemplate, DatasetInfo
+from .pointpillar import PointPillar, SECONDNet
 from .v2x_late_fusion import V2XLateFusion
 
 __all__ = {
     "CenterPoint": CenterPoint,
+    "PointPillar": PointPillar,
+    "SECONDNet": SECONDNet,
     "V2XLateFusion": V2XLateFusion,
 }
 

@@ -8,7 +8,8 @@ under XLA we keep everything statically shaped:
 
   * boxes are score-sorted (invalid entries get -inf scores and sort last),
   * one (K, K) rotated-IoU matrix is computed up front (MXU/VPU friendly),
-  * a ``lax.fori_loop`` walks the sorted list carrying a suppression mask,
+  * Jacobi fixed-point sweeps resolve the greedy recurrence (see
+    ``_greedy_suppress``),
   * the result is a fixed-size keep mask + the indices of kept boxes padded to
     ``post_max_size``.
 
@@ -151,3 +152,33 @@ def class_agnostic_nms(boxes, scores, valid_mask, nms_cfg, score_thresh=None):
         boxes[:, :7], scores, valid_mask,
         float(nms_cfg["NMS_THRESH"]), post_max_size=post_max, normal=normal,
     )
+
+
+def multi_classes_nms(cls_scores, boxes, valid_mask, nms_cfg, score_thresh=None):
+    """Per-class NMS with fixed output capacity, mirroring the reference
+    ``model_nms_utils.multi_classes_nms`` (model_nms_utils.py:28-66): each
+    class runs an independent class_agnostic_nms over the shared box set.
+
+    Args:
+        cls_scores: (K, num_class), boxes: (K, 7+C), valid_mask: (K,) bool.
+    Returns:
+        dict with pred_boxes (num_class*POST, 7+C), pred_scores, pred_labels
+        (0-based class index, as in the reference), pred_valid.
+    """
+    num_class = cls_scores.shape[1]
+    out_boxes, out_scores, out_labels, out_valid = [], [], [], []
+    for k in range(num_class):
+        sk = cls_scores[:, k]
+        keep_idx, _ = class_agnostic_nms(boxes, sk, valid_mask, nms_cfg, score_thresh=score_thresh)
+        sel = jnp.clip(keep_idx, 0)
+        ok = keep_idx >= 0
+        out_boxes.append(boxes[sel])
+        out_scores.append(jnp.where(ok, sk[sel], 0.0))
+        out_labels.append(jnp.full(keep_idx.shape, k, dtype=jnp.int32))
+        out_valid.append(ok)
+    return {
+        "pred_boxes": jnp.concatenate(out_boxes, axis=0),
+        "pred_scores": jnp.concatenate(out_scores, axis=0),
+        "pred_labels": jnp.concatenate(out_labels, axis=0),
+        "pred_valid": jnp.concatenate(out_valid, axis=0),
+    }

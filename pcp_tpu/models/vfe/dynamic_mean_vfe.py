@@ -12,7 +12,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...ops.sorted_segments import (
-    segment_end_index,
     segment_start_flags,
     segment_total_to_points,
     sort_by_pid,
@@ -51,10 +50,10 @@ class DynamicMeanVFE(nn.Module):
 
         vid_s, (pts_s, valid_s), _ = sort_by_pid(vid, [points, valid[..., None]])
         valid_s = valid_s[..., 0].astype(bool)
-        end_idx = segment_end_index(vid_s)
         ones = valid_s[..., None].astype(points.dtype)
-        sums = segment_total_to_points(pts_s * ones, vid_s, jnp.add, end_idx)
-        cnt = segment_total_to_points(ones, vid_s, jnp.add, end_idx)
+        # fused (C+1)-channel segment total: [sum feats | count], gather-free
+        sc = segment_total_to_points(jnp.concatenate([pts_s * ones, ones], axis=-1), vid_s, jnp.add)
+        sums, cnt = sc[..., :-1], sc[..., -1:]
         means = sums / jnp.maximum(cnt, 1.0)
 
         # compact segment heads to the voxel budget

@@ -109,11 +109,7 @@ class DynamicPillarVFE(nn.Module):
 
     def _forward_sorted(self, batch, train=False):
         from ...ops.pallas.bev_scatter import bev_scatter_max_sorted, use_interpret
-        from ...ops.sorted_segments import (
-            segment_end_index,
-            segment_total_to_points,
-            sort_by_pid,
-        )
+        from ...ops.sorted_segments import segment_total_to_points, sort_by_pid
 
         vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
         nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
@@ -126,14 +122,12 @@ class DynamicPillarVFE(nn.Module):
             pid, [points, coords.astype(points.dtype), valid[..., None]]
         )
         valid_s = valid_s[..., 0].astype(bool)
-        end_idx = segment_end_index(pid_s)
 
         xyz = points_s[..., 0:3]
         ones = valid_s[..., None].astype(points.dtype)
-        # one fused 4-channel scan: [sum xyz | count] (channels pad to 128
-        # lanes anyway, so the extra channel is free)
+        # one fused 4-channel segment total: [sum xyz | count]
         sc = segment_total_to_points(
-            jnp.concatenate([xyz * ones, ones], axis=-1), pid_s, jnp.add, end_idx
+            jnp.concatenate([xyz * ones, ones], axis=-1), pid_s, jnp.add
         )
         mean = sc[..., :3] / jnp.maximum(sc[..., 3:4], 1.0)
         f_cluster = xyz - mean
@@ -167,7 +161,7 @@ class DynamicPillarVFE(nn.Module):
                 pooled_pts = features
             else:
                 back = segment_total_to_points(
-                    jnp.where(valid_s[..., None], features, 0.0), pid_s, jnp.maximum, end_idx
+                    jnp.where(valid_s[..., None], features, 0.0), pid_s, jnp.maximum
                 )
                 features = jnp.concatenate([features, back], axis=-1)
 

@@ -130,11 +130,12 @@ def class_agnostic_nms(boxes, scores, valid_mask, nms_cfg, score_thresh=None):
     post_max = int(nms_cfg["NMS_POST_MAXSIZE"])
     normal = str(nms_cfg.get("NMS_TYPE", "nms_gpu")) == "nms_normal_gpu"
 
-    # implementation cap: the (K, K) IoU matrix cost is quadratic; candidates
-    # ranked below the top NMS_IMPL_MAX_CANDIDATES by score almost never
-    # survive (score threshold + post_max cap), so we restrict the matrix to
-    # them. Set to 0 to disable (exact reference semantics).
-    impl_cap = int(nms_cfg.get("NMS_IMPL_MAX_CANDIDATES", 256))
+    # optional implementation cap on the quadratic (K, K) IoU matrix.
+    # Default 0 = exact reference semantics (full NMS_PRE_MAXSIZE candidate
+    # set); with the edge-clip IoU + fixed-point greedy sweep, exact NMS at
+    # k=500 measures FASTER than a capped top-256 pass (the cap's extra
+    # top-k gather costs more than the smaller matrix saves).
+    impl_cap = int(nms_cfg.get("NMS_IMPL_MAX_CANDIDATES", 0))
     if impl_cap > 0:
         pre_max = min(pre_max, impl_cap)
 

@@ -131,15 +131,34 @@ def segment_end_index(pid_sorted):
     return _seg_scan(idx[:, ::-1], pid_sorted[:, ::-1], jnp.maximum)[:, ::-1]
 
 
+def _select_earlier(x, shifted):
+    """Associative 'take the earlier (left) accumulated value' combine for the
+    shift ladder: propagates each segment's FIRST element to every member."""
+    return shifted
+
+
+def segment_broadcast_first(values, pid_sorted):
+    """(B, N[, C]): every element receives its segment's first value — an
+    inclusive segmented scan with the (associative) select-earlier combine."""
+    return _seg_scan(values, pid_sorted, _select_earlier)
+
+
 def segment_total_to_points(values, pid_sorted, combine=jnp.add, end_idx=None):
-    """Per-point segment total (sum/max/...): scan + gather at segment end.
+    """Per-point segment total (sum/max/...): forward scan, then a reverse
+    select-first scan that propagates each segment's last (= fully reduced)
+    value to all members.
+
+    This is gather-free: XLA row gathers cost ~270 ns/row on TPU (a
+    take_along_axis at segment ends measured ~7 ms for a (8, 32768, C)
+    batch), while the extra scan pass is ~0.1-0.7 ms. ``end_idx`` is accepted
+    for backward compatibility and ignored.
 
     Args:
         values: (B, N, C) in sorted order.
     Returns:
         (B, N, C) — each point carries its full segment's reduction.
     """
+    del end_idx
     scanned = _seg_scan(values, pid_sorted, combine)
-    if end_idx is None:
-        end_idx = segment_end_index(pid_sorted)
-    return jnp.take_along_axis(scanned, end_idx[..., None], axis=1)
+    rev = _seg_scan(scanned[:, ::-1], pid_sorted[:, ::-1], _select_earlier)
+    return rev[:, ::-1]

@@ -44,6 +44,27 @@ def save_checkpoint(state, ckpt_dir, epoch, it, max_ckpt_save_num=30, logger=Non
     return path
 
 
+def save_latest_snapshot(state, ckpt_dir, epoch, it, logger=None):
+    """Overwrite the single 'latest_model' snapshot — the reference's
+    time-interval intermediate checkpoint (train_utils.py:122-130), used for
+    crash recovery between epoch boundaries. Not subject to rotation."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = (ckpt_dir / "latest_model").absolute()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "meta": {"epoch": np.asarray(epoch), "it": np.asarray(it), "step": jax.device_get(state.step)},
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if logger is not None:
+        logger.info(f"latest snapshot saved: {path}")
+    return path
+
+
 def latest_checkpoint(ckpt_dir):
     ckpt_dir = Path(ckpt_dir)
     cands = sorted(

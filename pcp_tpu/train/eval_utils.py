@@ -12,7 +12,7 @@ import jax
 import numpy as np
 
 from ..ops.rotated_iou import boxes_iou3d
-from .train_utils import _to_device_batch
+from .train_utils import AverageMeter, _to_device_batch
 
 
 def _recall_counts(pred_boxes, pred_valid, gt_boxes, thresh_list):
@@ -36,8 +36,13 @@ def _recall_counts(pred_boxes, pred_valid, gt_boxes, thresh_list):
 
 def eval_one_epoch(model, variables, dataset, dataloader, class_names, logger=None,
                    recall_thresh_list=(0.3, 0.5, 0.7), output_path=None,
-                   exchange_writer=None, compute_recall=True):
-    """Returns (result_str, result_dict, det_annos)."""
+                   exchange_writer=None, compute_recall=True, infer_time=False):
+    """Returns (result_str, result_dict, det_annos).
+
+    infer_time: measure device-synced per-batch inference latency (the
+    reference's --infer_time + CUDA_LAUNCH_BLOCKING, eval_utils.py:40-73);
+    sync is a host transfer of one output scalar, warmup batches excluded.
+    """
     import jax.numpy as jnp
 
     host_model = getattr(model, "is_host_model", False)
@@ -57,13 +62,24 @@ def eval_one_epoch(model, variables, dataset, dataloader, class_names, logger=No
     recall_acc = np.zeros(1 + len(recall_thresh_list))
     t0 = time.time()
     n_samples = 0
-    for batch in dataloader:
+    infer_meter = AverageMeter() if infer_time else None
+    warmup = 2
+    for i_batch, batch in enumerate(dataloader):
         if host_model:
             out = model(batch)
             dev_batch = batch
         else:
             dev_batch = _to_device_batch(batch)
-            out = fwd(variables, dev_batch)
+            if infer_time:
+                t_inf = time.time()
+                out = fwd(variables, dev_batch)
+                # device sync: pull one scalar to host (block_until_ready can
+                # return early behind the async device tunnel)
+                _ = np.asarray(out["final_box_dicts"]["pred_scores"].sum())
+                if i_batch >= warmup:
+                    infer_meter.update(time.time() - t_inf)
+            else:
+                out = fwd(variables, dev_batch)
         fbd = {k: np.asarray(v) for k, v in out["final_box_dicts"].items()}
         annos = dataset.generate_prediction_dicts(batch, fbd, class_names)
         det_annos.extend(annos)
@@ -85,6 +101,8 @@ def eval_one_epoch(model, variables, dataset, dataloader, class_names, logger=No
     sec_per_example = (time.time() - t0) / max(n_samples, 1)
     if logger is not None:
         logger.info(f"eval: {n_samples} samples, {sec_per_example:.4f} s/sample")
+        if infer_meter is not None and infer_meter.count:
+            logger.info(f"infer_time: {infer_meter.avg * 1e3:.1f} ms/batch (synced, {int(infer_meter.count)} batches)")
 
     result_dict = {}
     num_gt = max(recall_acc[0], 1)
@@ -96,6 +114,8 @@ def eval_one_epoch(model, variables, dataset, dataloader, class_names, logger=No
     )
     result_dict.update(metrics)
     result_dict["sec_per_example"] = sec_per_example
+    if infer_meter is not None and infer_meter.count:
+        result_dict["infer_time_ms_per_batch"] = infer_meter.avg * 1e3
     return result_str, result_dict, det_annos
 
 

@@ -53,10 +53,14 @@ class AverageMeter:
 
 def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=None,
                     tb_writer=None, log_interval=50, step_fn=None, profile_dir=None,
-                    profile_steps=(5, 8)):
+                    profile_steps=(5, 8), ckpt_save_dir=None,
+                    ckpt_save_time_interval=300, snapshot_tracker=None):
     """profile_dir: capture a jax.profiler device trace for steps
     [profile_steps[0], profile_steps[1]) of epoch 0 (the reference had only
-    wall-clock meters; TPU traces are the native observability tool)."""
+    wall-clock meters; TPU traces are the native observability tool).
+    ckpt_save_dir + ckpt_save_time_interval: save an overwriting
+    'latest_model' snapshot every interval seconds (reference
+    train_utils.py:122-130)."""
     step_fn = step_fn or make_train_step(model, tx)
     data_time, step_time = AverageMeter(), AverageMeter()
     losses = AverageMeter()
@@ -90,6 +94,15 @@ def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=Non
                     tb_writer.add_scalar(f"train/{k}", float(v), int(state.step))
                 except (TypeError, ValueError):
                     pass
+        if (
+            ckpt_save_dir is not None
+            and snapshot_tracker is not None
+            and time.time() - snapshot_tracker.get("t", 0.0) > ckpt_save_time_interval
+        ):
+            from .checkpoint import save_latest_snapshot
+
+            save_latest_snapshot(state, ckpt_save_dir, epoch, it, logger=logger)
+            snapshot_tracker["t"] = time.time()
         it += 1
         end = time.time()
     if profiling:
@@ -99,18 +112,21 @@ def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=Non
 
 def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=None,
                 mesh=None, max_ckpt_save_num=30, start_epoch=0, tb_writer=None,
-                profile_dir=None):
+                profile_dir=None, ckpt_save_time_interval=300):
     step_fn = make_train_step(model, tx)
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
     if mesh is not None:
         state = replicate_state(mesh, state)
 
+    snapshot_tracker = {"t": time.time()}
     for epoch in range(start_epoch, total_epochs):
         train_loader.set_epoch(epoch)
         state, avg_loss, step_fn = train_one_epoch(
             model, state, tx, train_loader, epoch, logger=logger, mesh=mesh,
             tb_writer=tb_writer, step_fn=step_fn, profile_dir=profile_dir,
+            ckpt_save_dir=ckpt_dir, ckpt_save_time_interval=ckpt_save_time_interval,
+            snapshot_tracker=snapshot_tracker,
         )
         save_checkpoint(
             state, ckpt_dir, epoch + 1, int(state.step),

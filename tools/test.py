@@ -1,11 +1,17 @@
 """Evaluation CLI.
 
-Counterpart of /root/reference/tools/test.py: single-checkpoint evaluation of a
-config on the val split, writing metrics to the output tree.
+Counterpart of /root/reference/tools/test.py: single-checkpoint evaluation,
+``--eval_all`` checkpoint-directory polling (repeat_eval_ckpt,
+test.py:89-135), ``--infer_time`` synced latency measurement (test.py:141-142),
+and exchange-database generation when the config sets
+GENERATING_EXCHANGE_DATA (center_head.py:409-427 / hunter_jr.py:377-397 dumps,
+re-expressed as a host-side writer over the model outputs).
 """
 import argparse
 import datetime
+import re
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -17,12 +23,12 @@ from pcp_tpu.datasets import build_dataloader
 from pcp_tpu.models import build_network
 from pcp_tpu.models.detectors.detector_template import DatasetInfo
 from pcp_tpu.train.checkpoint import load_params_from_file, latest_checkpoint
-from pcp_tpu.train.eval_utils import eval_one_epoch
+from pcp_tpu.train.eval_utils import eval_one_epoch, make_exchange_writer
 from pcp_tpu.train.train_utils import _to_device_batch
 from pcp_tpu.utils.common_utils import create_logger
 
 
-def parse_config():
+def parse_config(argv=None):
     parser = argparse.ArgumentParser(description="arg parser")
     parser.add_argument("--cfg_file", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=None)
@@ -30,15 +36,127 @@ def parse_config():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--eval_all", action="store_true", default=False,
+                        help="evaluate every (new) checkpoint in --ckpt_dir")
+    parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--start_epoch", type=int, default=0)
     parser.add_argument("--infer_time", action="store_true", default=False)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     cfg_from_yaml_file(args.cfg_file, cfg)
     cfg.TAG = Path(args.cfg_file).stem
     cfg.EXP_GROUP_PATH = "/".join(args.cfg_file.split("/")[1:-1])
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs, cfg)
     return args, cfg
+
+
+def _exchange_writer_from_cfg(cfg_, logger):
+    """Wire GENERATING_EXCHANGE_DATA config keys (the reference toggles dumps
+    inside CenterHead / HunterJr forward) to the host-side exchange writer."""
+    model_cfg = cfg_.MODEL
+    gen = False
+    db_path = None
+    for section in ("DENSE_HEAD", "CORRECTOR"):
+        sec = model_cfg.get(section)
+        if sec is not None and bool(sec.get("GENERATING_EXCHANGE_DATA", False)):
+            gen = True
+            db_path = sec.get("DATABASE_EXCHANGE_DATA", db_path)
+    if not gen:
+        return None
+    if db_path is None:
+        raise ValueError("GENERATING_EXCHANGE_DATA set but no DATABASE_EXCHANGE_DATA path")
+    from pcp_tpu.exchange.database import ExchangeDatabase
+
+    db = ExchangeDatabase(Path(db_path))
+    db.ensure_dir()
+    thresh = float(model_cfg.get("CORRECTOR", {}).get("THRESHOLD_POINT_CLS_PROB", 0.3))
+    logger.info(f"exchange-database generation ON -> {db_path}")
+    return make_exchange_writer(db, bg_prob_thresh=thresh)
+
+
+def eval_single_ckpt(model, test_set, test_loader, args, cfg_, eval_dir, logger, ckpt=None):
+    variables = None
+    if not getattr(model, "is_host_model", False):
+        ckpt = ckpt or args.ckpt or (latest_checkpoint(args.ckpt_dir) if args.ckpt_dir else None)
+        if ckpt is not None:
+            variables = load_params_from_file(ckpt)
+            logger.info(f"loaded checkpoint {ckpt}")
+        else:
+            logger.warning("no checkpoint given -> random init (smoke mode)")
+            example = next(iter(test_loader))
+            variables = model.init(jax.random.PRNGKey(0), _to_device_batch(example), train=False)
+
+    result_str, result_dict, _ = eval_one_epoch(
+        model, variables, test_set, test_loader, cfg_.CLASS_NAMES, logger=logger,
+        recall_thresh_list=cfg_.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
+        output_path=eval_dir,
+        exchange_writer=_exchange_writer_from_cfg(cfg_, logger),
+        infer_time=args.infer_time,
+    )
+    logger.info("\n" + result_str)
+    logger.info(f"result_dict: {result_dict}")
+    return result_dict
+
+
+def get_no_evaluated_ckpt(ckpt_dir, ckpt_record_file, start_epoch):
+    """Oldest not-yet-evaluated checkpoint (reference test.py:77-87)."""
+    evaluated = set()
+    if Path(ckpt_record_file).exists():
+        evaluated = {line.strip() for line in open(ckpt_record_file) if line.strip()}
+    cands = sorted(
+        Path(ckpt_dir).glob("checkpoint_epoch_*"),
+        key=lambda p: int(re.findall(r"\d+", p.name)[-1]),
+    )
+    for p in cands:
+        epoch_id = re.findall(r"\d+", p.name)[-1]
+        if epoch_id not in evaluated and int(epoch_id) >= start_epoch:
+            return epoch_id, p
+    return -1, None
+
+
+def repeat_eval_ckpt(model, test_set, test_loader, args, cfg_, eval_output_dir, logger,
+                     ckpt_dir, tb_writer=None):
+    """Poll ckpt_dir and evaluate each new checkpoint (reference test.py:89-135)."""
+    eval_output_dir = Path(eval_output_dir)
+    eval_output_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_record_file = eval_output_dir / "eval_list_val.txt"
+    ckpt_record_file.touch()
+
+    total_wait = 0
+    first_eval = True
+    while True:
+        cur_epoch_id, cur_ckpt = get_no_evaluated_ckpt(ckpt_dir, ckpt_record_file, args.start_epoch)
+        if cur_epoch_id == -1:
+            wait_second = 30
+            if total_wait > args.max_waiting_mins * 60 and not first_eval:
+                break
+            if args.max_waiting_mins <= 0:
+                break
+            logger.info(
+                f"waiting {wait_second}s for new ckpts in {ckpt_dir} "
+                f"({total_wait / 60:.1f}/{args.max_waiting_mins} min)"
+            )
+            time.sleep(wait_second)
+            total_wait += wait_second
+            continue
+        total_wait = 0
+        first_eval = False
+
+        cur_result_dir = eval_output_dir / f"epoch_{cur_epoch_id}"
+        cur_result_dir.mkdir(parents=True, exist_ok=True)
+        result_dict = eval_single_ckpt(
+            model, test_set, test_loader, args, cfg_, cur_result_dir, logger, ckpt=cur_ckpt
+        )
+        if tb_writer is not None:
+            for key, val in result_dict.items():
+                try:
+                    tb_writer.add_scalar(f"eval/{key}", float(val), int(cur_epoch_id))
+                except (TypeError, ValueError):
+                    pass
+        with open(ckpt_record_file, "a") as f:
+            print(cur_epoch_id, file=f)
+        logger.info(f"epoch {cur_epoch_id} has been evaluated")
 
 
 def main():
@@ -65,24 +183,15 @@ def main():
     info = DatasetInfo.from_data_cfg(cfg_.DATA_CONFIG, cfg_.CLASS_NAMES)
     model = build_network(cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES), dataset_info=info)
 
-    variables = None
-    if not getattr(model, "is_host_model", False):
-        ckpt = args.ckpt or (latest_checkpoint(args.ckpt_dir) if args.ckpt_dir else None)
-        if ckpt is not None:
-            variables = load_params_from_file(ckpt)
-            logger.info(f"loaded checkpoint {ckpt}")
-        else:
-            logger.warning("no checkpoint given -> random init (smoke mode)")
-            example = next(iter(test_loader))
-            variables = model.init(jax.random.PRNGKey(0), _to_device_batch(example), train=False)
-
-    result_str, result_dict, _ = eval_one_epoch(
-        model, variables, test_set, test_loader, cfg_.CLASS_NAMES, logger=logger,
-        recall_thresh_list=cfg_.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
-        output_path=eval_dir,
-    )
-    logger.info("\n" + result_str)
-    logger.info(f"result_dict: {result_dict}")
+    if args.eval_all:
+        if not args.ckpt_dir:
+            raise SystemExit("--eval_all requires --ckpt_dir")
+        repeat_eval_ckpt(
+            model, test_set, test_loader, args, cfg_, eval_dir / "eval_all", logger,
+            args.ckpt_dir,
+        )
+    else:
+        eval_single_ckpt(model, test_set, test_loader, args, cfg_, eval_dir, logger)
 
 
 if __name__ == "__main__":

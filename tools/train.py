@@ -36,6 +36,12 @@ def parse_config():
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--fix_random_seed", action="store_true", default=False)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--ckpt_save_time_interval", type=int, default=300,
+                        help="seconds between overwriting 'latest_model' snapshots")
+    parser.add_argument("--num_epochs_to_eval", type=int, default=15,
+                        help="auto-eval the last N epoch checkpoints after training (0 = off)")
+    parser.add_argument("--max_waiting_mins", type=int, default=0)
+    parser.add_argument("--infer_time", action="store_true", default=False)
     parser.add_argument("--profile", action="store_true", help="capture a jax.profiler trace of early steps")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -106,9 +112,33 @@ def main():
         model, state, tx, train_loader, epochs, ckpt_dir, logger=logger,
         max_ckpt_save_num=args.max_ckpt_save_num, start_epoch=start_epoch,
         profile_dir=(output_dir / "profile") if args.profile else None,
-        tb_writer=tb_writer,
+        tb_writer=tb_writer, ckpt_save_time_interval=args.ckpt_save_time_interval,
     )
     logger.info("**********************Training done**********************")
+
+    if args.num_epochs_to_eval > 0:
+        # post-train auto-eval of the last N checkpoints (ref train.py:205-221)
+        from tools.test import repeat_eval_ckpt
+
+        logger.info("**********************Start evaluation**********************")
+        test_set, test_loader, _ = build_dataloader(
+            dataset_cfg=cfg_.DATA_CONFIG,
+            class_names=cfg_.CLASS_NAMES,
+            batch_size=batch_size,
+            root_path=None,
+            workers=args.workers,
+            logger=logger,
+            training=False,
+        )
+        args.start_epoch = max(epochs - args.num_epochs_to_eval, 0)
+        args.ckpt = None
+        args.ckpt_dir = str(ckpt_dir)
+        repeat_eval_ckpt(
+            model, test_set, test_loader, args, cfg_,
+            output_dir / "eval" / "eval_with_train", logger, ckpt_dir,
+            tb_writer=tb_writer,
+        )
+        logger.info("**********************End evaluation**********************")
 
 
 if __name__ == "__main__":

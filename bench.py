@@ -33,7 +33,12 @@ def main():
     sys.path.insert(0, ".")
     from __graft_entry__ import _build, CFG_EGO
 
+    import os
     cfg, info, model = _build(CFG_EGO)
+    if os.environ.get("BENCH_BF16"):
+        cfg.MODEL["BF16"] = True
+        from pcp_tpu.models import build_network
+        model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset_info=info)
 
     rng = np.random.default_rng(0)
     # synthetic scenes: clustered points (realistic pillar occupancy)

@@ -61,6 +61,68 @@ class DataAugmentor:
         augmentor_utils.global_translation(data_dict, config["NOISE_TRANSLATE_STD"])
         return data_dict
 
+    def random_local_translation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_translation, config=config)
+        data_dict["gt_boxes"], data_dict["points"] = augmentor_utils.random_local_translation(
+            data_dict["gt_boxes"], data_dict["points"],
+            config["LOCAL_TRANSLATION_RANGE"], config["ALONG_AXIS_LIST"],
+        )
+        return data_dict
+
+    def random_local_rotation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_rotation, config=config)
+        rot_range = config["LOCAL_ROT_ANGLE"]
+        if not isinstance(rot_range, (list, tuple, np.ndarray)):
+            rot_range = [-rot_range, rot_range]
+        data_dict["gt_boxes"], data_dict["points"] = augmentor_utils.local_rotation(
+            data_dict["gt_boxes"], data_dict["points"], rot_range
+        )
+        return data_dict
+
+    def random_local_scaling(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_scaling, config=config)
+        data_dict["gt_boxes"], data_dict["points"] = augmentor_utils.local_scaling(
+            data_dict["gt_boxes"], data_dict["points"], config["LOCAL_SCALE_RANGE"]
+        )
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_world_frustum_dropout, config=config)
+        for direction in config["DIRECTION"]:
+            assert direction in ("top", "bottom", "left", "right")
+            data_dict["gt_boxes"], data_dict["points"] = augmentor_utils.global_frustum_dropout(
+                data_dict["gt_boxes"], data_dict["points"], config["INTENSITY_RANGE"], direction
+            )
+        return data_dict
+
+    def random_local_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_frustum_dropout, config=config)
+        for direction in config["DIRECTION"]:
+            assert direction in ("top", "bottom", "left", "right")
+            data_dict["gt_boxes"], data_dict["points"] = augmentor_utils.local_frustum_dropout(
+                data_dict["gt_boxes"], data_dict["points"], config["INTENSITY_RANGE"], direction
+            )
+        return data_dict
+
+    def random_local_pyramid_aug(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_pyramid_aug, config=config)
+        gt, pts = data_dict["gt_boxes"], data_dict["points"]
+        gt, pts, keep = augmentor_utils.local_pyramid_dropout(gt, pts, config["DROP_PROB"])
+        gt, pts, keep = augmentor_utils.local_pyramid_sparsify(
+            gt, pts, config["SPARSIFY_PROB"], config["SPARSIFY_MAX_NUM"], keep
+        )
+        gt, pts = augmentor_utils.local_pyramid_swap(
+            gt, pts, config["SWAP_PROB"], config["SWAP_MAX_NUM"], keep
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt, pts
+        return data_dict
+
     def gt_sampling(self, config=None):
         from .database_sampler import DataBaseSampler
 

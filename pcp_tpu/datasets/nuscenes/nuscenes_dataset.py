@@ -79,11 +79,47 @@ class NuScenesDataset(DatasetTemplate):
             return len(self.infos) * self.total_epochs
         return len(self.infos)
 
+    def get_hd_map(self, info):
+        """(5, H, W) raster: from a pre-generated ``map_path`` .npz (written
+        by workspace/nuscenes_map_generating.py) or built live via MapMaker
+        when the devkit is importable (reference consumes pre-rasterized maps
+        the same way)."""
+        if "map_path" in info:
+            p = self.root_path / info["map_path"]
+            with np.load(p) as z:
+                return z[z.files[0]].astype(np.float32)
+        if not hasattr(self, "_map_maker"):
+            from .map_utils import MapMaker
+            from nuscenes import NuScenes  # devkit-gated
+
+            nusc = NuScenes(
+                version=self.dataset_cfg["VERSION"], dataroot=str(self.root_path), verbose=False
+            )
+            self._map_maker = MapMaker(
+                nusc, resolution=float(self.dataset_cfg.get("MAP_RESOLUTION", 0.2)),
+                point_cloud_range=tuple(self.point_cloud_range),
+            )
+        return self._map_maker.make_representation(info["lidar_token"]).astype(np.float32)
+
     def __getitem__(self, index):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.infos)
         info = copy.deepcopy(self.infos[index])
         points = self.get_sweep_points(info)
+
+        if bool(self.dataset_cfg.get("USE_HD_MAP", False)):
+            from .map_utils import interpolate_map_at_points
+
+            img_map = self.get_hd_map(info)
+            map_feats = interpolate_map_at_points(
+                img_map, points,
+                self.point_cloud_range,
+                float(self.dataset_cfg.get("MAP_RESOLUTION", 0.2)),
+            )
+            # feature order of pointpillar_jr_withmap.yaml: [x y z intensity
+            # timestamp | 4 map layers + lane_dir | sweep_idx instance_idx]
+            points = np.hstack([points[:, :5], map_feats, points[:, 5:]]).astype(np.float32)
+
         input_dict = {
             "points": points,
             "frame_id": Path(info["lidar_path"]).stem,

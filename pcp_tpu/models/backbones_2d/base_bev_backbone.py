@@ -16,16 +16,18 @@ class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    dtype: Any = None  # compute dtype (params stay f32); None = f32
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)) if self.kernel == 3 else "VALID", use_bias=False,
-            name="conv",
+            name="conv", dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm"
+            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -33,15 +35,17 @@ class ConvBNReLU(nn.Module):
 class DeConvBNReLU(nn.Module):
     features: int
     stride: int  # upsample factor
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.ConvTranspose(
             self.features, (self.stride, self.stride), strides=(self.stride, self.stride),
-            padding="VALID", use_bias=False, name="deconv",
+            padding="VALID", use_bias=False, name="deconv", dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm"
+            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -49,15 +53,17 @@ class DeConvBNReLU(nn.Module):
 class DownConvBNReLU(nn.Module):
     features: int
     stride: int  # downsample factor (kernel == stride)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(
             self.features, (self.stride, self.stride), strides=(self.stride, self.stride),
-            padding="VALID", use_bias=False, name="conv",
+            padding="VALID", use_bias=False, name="conv", dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm"
+            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -65,9 +71,13 @@ class DownConvBNReLU(nn.Module):
 class BaseBEVBackbone(nn.Module):
     model_cfg: Any
     input_channels: int
+    bf16: bool = False
 
     def setup(self):
         cfg = self.model_cfg
+        # BF16: True runs the conv stack in bfloat16 (params/BN stats stay
+        # f32; output cast back to f32) — MXU-native inference mode
+        self.dtype = jnp.bfloat16 if (self.bf16 or bool(cfg.get("BF16", False))) else None
         layer_nums = list(cfg.get("LAYER_NUMS", []))
         layer_strides = list(cfg.get("LAYER_STRIDES", []))
         num_filters = list(cfg.get("NUM_FILTERS", []))
@@ -77,20 +87,21 @@ class BaseBEVBackbone(nn.Module):
         blocks = []
         deblocks = []
         for idx in range(len(layer_nums)):
-            level = [ConvBNReLU(num_filters[idx], stride=layer_strides[idx], name=f"block{idx}_0")]
+            level = [ConvBNReLU(num_filters[idx], stride=layer_strides[idx], dtype=self.dtype, name=f"block{idx}_0")]
             for k in range(layer_nums[idx]):
-                level.append(ConvBNReLU(num_filters[idx], name=f"block{idx}_{k + 1}"))
+                level.append(ConvBNReLU(num_filters[idx], dtype=self.dtype, name=f"block{idx}_{k + 1}"))
             blocks.append(level)
             if upsample_strides:
                 s = upsample_strides[idx]
                 if s >= 1:
                     deblocks.append(
-                        DeConvBNReLU(num_upsample_filters[idx], int(s), name=f"deblock{idx}")
+                        DeConvBNReLU(num_upsample_filters[idx], int(s), dtype=self.dtype, name=f"deblock{idx}")
                     )
                 else:
                     deblocks.append(
                         DownConvBNReLU(
-                            num_upsample_filters[idx], int(np.round(1 / s)), name=f"deblock{idx}"
+                            num_upsample_filters[idx], int(np.round(1 / s)),
+                            dtype=self.dtype, name=f"deblock{idx}",
                         )
                     )
         self.blocks = blocks
@@ -100,7 +111,7 @@ class BaseBEVBackbone(nn.Module):
             num_filters[-1] if num_filters else self.input_channels
         )
         if len(upsample_strides) > len(layer_nums):
-            self.extra_deblock = DeConvBNReLU(c_in, int(upsample_strides[-1]), name="deblock_extra")
+            self.extra_deblock = DeConvBNReLU(c_in, int(upsample_strides[-1]), dtype=self.dtype, name="deblock_extra")
         else:
             self.extra_deblock = None
         self.num_bev_features = c_in
@@ -121,5 +132,5 @@ class BaseBEVBackbone(nn.Module):
             x = self.extra_deblock(x, train=train)
 
         out = dict(batch)
-        out["spatial_features_2d"] = x
+        out["spatial_features_2d"] = x.astype(jnp.float32)
         return out

@@ -8,9 +8,9 @@ __all__ = {
 
 
 def build_dense_head(cfg, info, input_channels, num_class, predict_boxes_when_training=False,
-                     name="dense_head"):
+                     bf16=False, name="dense_head"):
     cls = __all__[cfg["NAME"]]
-    return cls(
+    kwargs = dict(
         name=name,
         model_cfg=cfg,
         input_channels=input_channels,
@@ -21,3 +21,6 @@ def build_dense_head(cfg, info, input_channels, num_class, predict_boxes_when_tr
         voxel_size=info.voxel_size,
         predict_boxes_when_training=predict_boxes_when_training,
     )
+    if hasattr(cls, "bf16"):
+        kwargs["bf16"] = bf16
+    return cls(**kwargs)

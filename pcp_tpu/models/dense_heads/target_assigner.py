@@ -24,7 +24,7 @@ from ..model_utils.centernet_utils import gaussian_radius, splat_gaussians
 def assign_targets_single_head(
     gt_boxes, head_class_map, num_classes, feat_w, feat_h, stride,
     pc_range, voxel_size, gaussian_overlap, min_radius,
-    num_max_objs=500, patch_radius=10, code_size=8,
+    num_max_objs=500, patch_radius=10, code_size=8, iou_target=None,
 ):
     """Single-sample, single-head target assignment.
 
@@ -71,9 +71,13 @@ def assign_targets_single_head(
     offs = center - center_int.astype(center.dtype)
     log_dim = jnp.log(jnp.clip(gt_boxes[:, 3:6], min=1e-6))
     parts = [offs, z[:, None], log_dim, jnp.cos(gt_boxes[:, 6:7]), jnp.sin(gt_boxes[:, 6:7])]
-    extra = code_size - 8
+    extra = code_size - 8 - (1 if iou_target is not None else 0)
     if extra > 0:  # velocity columns, gt layout [7 : 7+extra]
         parts.append(gt_boxes[:, 7 : 7 + extra])
+    if iou_target is not None:
+        # predicted-IoU calibration target in the LAST reg channel
+        # (reference center_head.py:163-164: ret_boxes[k, -1])
+        parts.append(iou_target[:, None])
     target_boxes = jnp.concatenate(parts, axis=-1)
     target_boxes = jnp.where(valid[:, None], target_boxes, 0.0)
     return heatmap, target_boxes, inds.astype(jnp.int32), mask

@@ -69,6 +69,9 @@ class Detector3DTemplate(nn.Module):
 
         info = self.dataset_info
         cfg = self.model_cfg
+        # MODEL.BF16: True -> conv stacks (backbone_2d + dense head) compute
+        # in bfloat16 with f32 params/logits
+        bf16 = bool(cfg.get("BF16", False))
         modules = []
         num_bev_features = None
         num_point_features = info.num_point_features
@@ -98,7 +101,7 @@ class Detector3DTemplate(nn.Module):
             modules.append(m2b)
             num_bev_features = int(cfg["MAP_TO_BEV"]["NUM_BEV_FEATURES"])
         if cfg.get("BACKBONE_2D") is not None:
-            b2d = build_backbone_2d(cfg["BACKBONE_2D"], num_bev_features)
+            b2d = build_backbone_2d(cfg["BACKBONE_2D"], num_bev_features, bf16=bf16)
             modules.append(b2d)
             ups = list(cfg["BACKBONE_2D"].get("NUM_UPSAMPLE_FILTERS", []))
             filters = list(cfg["BACKBONE_2D"].get("NUM_FILTERS", []))
@@ -112,7 +115,7 @@ class Detector3DTemplate(nn.Module):
                 build_dense_head(
                     cfg["DENSE_HEAD"], info, num_bev_features, self.num_class,
                     predict_boxes_when_training=cfg.get("ROI_HEAD") is not None,
-                    name="dense_head",
+                    bf16=bf16, name="dense_head",
                 )
             )
         return modules

@@ -118,10 +118,14 @@ class DynamicPillarVFE(nn.Module):
         b, n = points.shape[0], points.shape[1]
 
         coords, valid, pid = self._coords_and_pid(points, mask)
-        pid_s, (points_s, coords_s, valid_s), _ = sort_by_pid(
-            pid, [points, coords.astype(points.dtype), valid[..., None]]
+        # only the raw points ride the sort as payload; valid/coords are
+        # recomputed from pid_s (row gathers cost ~270 ns/row on TPU)
+        pid_s, (points_s,), _ = sort_by_pid(pid, [points])
+        valid_s = pid_s < nx * ny
+        coords_s = jnp.stack(
+            [(pid_s % nx).astype(points.dtype), (pid_s // nx).astype(points.dtype)],
+            axis=-1,
         )
-        valid_s = valid_s[..., 0].astype(bool)
 
         xyz = points_s[..., 0:3]
         ones = valid_s[..., None].astype(points.dtype)

@@ -101,3 +101,36 @@ class TestCenterPointForward:
         assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
         total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
         assert total > 0
+
+
+class TestBF16Mode:
+    def test_bf16_outputs_close_to_f32(self, rng):
+        """MODEL.BF16 runs backbone+head convs in bfloat16; predictions must
+        stay close to f32 (same params)."""
+        import jax
+        import jax.numpy as jnp
+        from pcp_tpu.config import CfgDict, cfg_from_yaml_file
+        from pcp_tpu.models import build_network
+
+        cfg = CfgDict()
+        cfg_from_yaml_file(CFG_EGO, cfg)
+        info = small_info(13)
+        batch = make_batch(rng, b=1, n=512)
+
+        model32 = build_network(cfg.MODEL, num_class=1, dataset_info=info)
+        v = model32.init(jax.random.PRNGKey(0), batch, train=False)
+        out32 = model32.apply(v, batch, train=False)
+
+        import copy
+        cfg_bf = CfgDict()
+        cfg_from_yaml_file(CFG_EGO, cfg_bf)
+        cfg_bf.MODEL["BF16"] = True
+        model_bf = build_network(cfg_bf.MODEL, num_class=1, dataset_info=info)
+        out_bf = model_bf.apply(v, batch, train=False)
+
+        hm32 = np.asarray(out32["head_preds"][0]["hm"])
+        hmbf = np.asarray(out_bf["head_preds"][0]["hm"])
+        assert hmbf.dtype == np.float32
+        # bf16 has ~3 decimal digits; logits should agree to ~1e-1 absolute
+        assert np.abs(hm32 - hmbf).max() < 0.2
+        assert np.abs(hm32 - hmbf).mean() < 0.02

@@ -1,6 +1,8 @@
 """Dataset registry + build_dataloader (counterpart of reference
 pcdet/datasets/__init__.py:54-84)."""
+from .custom import CustomDataset
 from .dataset import DatasetTemplate
+from .kitti import KittiDataset
 from .loader import DataLoader
 from .nuscenes import NuScenesDataset
 from .v2x_sim import (
@@ -13,7 +15,9 @@ from .v2x_sim import (
 )
 
 __all__ = {
+    "CustomDataset": CustomDataset,
     "DatasetTemplate": DatasetTemplate,
+    "KittiDataset": KittiDataset,
     "NuScenesDataset": NuScenesDataset,
     "V2XSimDataset_RSU": V2XSimDataset_RSU,
     "V2XSimDataset_CAR": V2XSimDataset_CAR,

@@ -1,8 +1,9 @@
-from .base_bev_backbone import BaseBEVBackbone
+from .base_bev_backbone import BaseBEVBackbone, BaseBEVBackboneV1
 from .sc_conv_backbone import SCConvBackbone2dStride1, SCConvBackbone2dStride4
 
 __all__ = {
     "BaseBEVBackbone": BaseBEVBackbone,
+    "BaseBEVBackboneV1": BaseBEVBackboneV1,
     "SCConvBackbone2dStride1": SCConvBackbone2dStride1,
     "SCConvBackbone2dStride4": SCConvBackbone2dStride4,
 }

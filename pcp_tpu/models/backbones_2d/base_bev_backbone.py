@@ -134,3 +134,57 @@ class BaseBEVBackbone(nn.Module):
         out = dict(batch)
         out["spatial_features_2d"] = x.astype(jnp.float32)
         return out
+
+
+class BaseBEVBackboneV1(nn.Module):
+    """Two-level variant over precomputed multi-scale 2D features
+    (reference base_bev_backbone.py:115-204): deblocks upsample x_conv4 /
+    blocks[1](x_conv5), the concat runs through blocks[0]."""
+
+    model_cfg: Any
+    input_channels: int = 0  # unused; widths come from the feature dict
+    bf16: bool = False
+
+    def setup(self):
+        cfg = self.model_cfg
+        self.dtype = jnp.bfloat16 if (self.bf16 or bool(cfg.get("BF16", False))) else None
+        layer_nums = list(cfg["LAYER_NUMS"])
+        num_filters = list(cfg["NUM_FILTERS"])
+        assert len(layer_nums) == len(num_filters) == 2
+        upsample_strides = list(cfg["UPSAMPLE_STRIDES"])
+        num_upsample_filters = list(cfg["NUM_UPSAMPLE_FILTERS"])
+
+        blocks = []
+        deblocks = []
+        for idx in range(2):
+            level = [ConvBNReLU(num_filters[idx], dtype=self.dtype, name=f"block{idx}_0")]
+            for k in range(layer_nums[idx]):
+                level.append(ConvBNReLU(num_filters[idx], dtype=self.dtype,
+                                        name=f"block{idx}_{k + 1}"))
+            blocks.append(level)
+            s = upsample_strides[idx]
+            if s >= 1:
+                deblocks.append(DeConvBNReLU(num_upsample_filters[idx], int(s),
+                                             dtype=self.dtype, name=f"deblock{idx}"))
+            else:
+                deblocks.append(DownConvBNReLU(num_upsample_filters[idx],
+                                               int(np.round(1 / s)),
+                                               dtype=self.dtype, name=f"deblock{idx}"))
+        self.blocks = blocks
+        self.deblocks = deblocks
+        self.num_bev_features = sum(num_upsample_filters)
+
+    def __call__(self, batch, train=False):
+        feats = batch["multi_scale_2d_features"]
+        x_conv4, x_conv5 = feats["x_conv4"], feats["x_conv5"]
+        ups = [self.deblocks[0](x_conv4, train=train)]
+        x = x_conv5
+        for layer in self.blocks[1]:
+            x = layer(x, train=train)
+        ups.append(self.deblocks[1](x, train=train))
+        x = jnp.concatenate(ups, axis=-1)
+        for layer in self.blocks[0]:
+            x = layer(x, train=train)
+        out = dict(batch)
+        out["spatial_features_2d"] = x.astype(jnp.float32)
+        return out

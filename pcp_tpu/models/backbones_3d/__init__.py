@@ -1,6 +1,8 @@
+from .pointnet2_backbone import PointNet2MSG
 from .spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
 
 __all__ = {
+    "PointNet2MSG": PointNet2MSG,
     "VoxelBackBone8x": VoxelBackBone8x,
     "VoxelResBackBone8x": VoxelResBackBone8x,
 }

@@ -127,13 +127,16 @@ class VoxelResBackBone8x(nn.Module):
         for i in range(self.num_res_blocks):
             x = SparseBasicBlock(16, name=f"conv1_{i}")(x, nmap1, valid1, train)
 
+        # per-level sparse tensors for downstream PFE consumers (the
+        # reference's batch_dict['multi_scale_3d_features'], x_conv1..x_conv4)
+        multi_scale = {"x_conv1": (ids, x, dims, 1)}
         stage_cfgs = [
-            ("conv2", 32, 3, 2, 1),
-            ("conv3", 64, 3, 2, 1),
-            ("conv4", 128, 3, 2, (0, 1, 1)),
+            ("conv2", 32, 3, 2, 1, 2),
+            ("conv3", 64, 3, 2, 1, 4),
+            ("conv4", 128, 3, 2, (0, 1, 1), 8),
         ]
         cur_ids, cur_dims = ids, dims
-        for name, ch, ksz, st, pad in stage_cfgs:
+        for name, ch, ksz, st, pad, ds in stage_cfgs:
             out_dims = _out_dims(cur_dims, ksz, st, pad)
             out_ids = sparse3d.strided_output_ids(
                 cur_ids, cur_dims, out_dims, ksz, st, pad, budget=v
@@ -145,6 +148,7 @@ class VoxelResBackBone8x(nn.Module):
             for i in range(self.num_res_blocks):
                 x = SparseBasicBlock(ch, name=f"{name}_{i}")(x, nmap, valid, train)
             cur_ids, cur_dims = out_ids, out_dims
+            multi_scale[f"x_{name}"] = (cur_ids, x, cur_dims, ds)
 
         # conv_out: z-only stride
         out_dims = _out_dims(cur_dims, (3, 1, 1), (2, 1, 1), 0)
@@ -158,6 +162,7 @@ class VoxelResBackBone8x(nn.Module):
         out = dict(batch)
         out["encoded_spconv_tensor"] = (out_ids, x)
         out["encoded_spconv_dims"] = out_dims
+        out["multi_scale_3d_features"] = multi_scale
         return out
 
 

@@ -1,10 +1,20 @@
+import dataclasses
+
 from .anchor_head_single import AnchorHeadSingle
 from .center_head import CenterHead
+from .point_head import PointHeadBox, PointHeadSimple
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
     "CenterHead": CenterHead,
+    "PointHeadSimple": PointHeadSimple,
+    "PointHeadBox": PointHeadBox,
 }
+
+
+def _filtered_kwargs(cls, kwargs):
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in kwargs.items() if k in fields or k == "name"}
 
 
 def build_dense_head(cfg, info, input_channels, num_class, predict_boxes_when_training=False,
@@ -23,4 +33,15 @@ def build_dense_head(cfg, info, input_channels, num_class, predict_boxes_when_tr
     )
     if hasattr(cls, "bf16"):
         kwargs["bf16"] = bf16
-    return cls(**kwargs)
+    return cls(**_filtered_kwargs(cls, kwargs))
+
+
+def build_point_head(cfg, input_channels, num_class, predict_boxes_when_training=False,
+                     name="point_head"):
+    cls = __all__[cfg["NAME"]]
+    num_class = 1 if bool(cfg.get("CLASS_AGNOSTIC", False)) else num_class
+    kwargs = dict(
+        name=name, model_cfg=cfg, input_channels=input_channels, num_class=num_class,
+        predict_boxes_when_training=predict_boxes_when_training,
+    )
+    return cls(**_filtered_kwargs(cls, kwargs))

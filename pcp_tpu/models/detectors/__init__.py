@@ -1,11 +1,15 @@
 from .centerpoint import CenterPoint
 from .detector_template import Detector3DTemplate, DatasetInfo
 from .pointpillar import PointPillar, SECONDNet
+from .pointrcnn import PointRCNN
+from .pvrcnn import PVRCNN
 from .v2x_late_fusion import V2XLateFusion
 
 __all__ = {
     "CenterPoint": CenterPoint,
     "PointPillar": PointPillar,
+    "PointRCNN": PointRCNN,
+    "PVRCNN": PVRCNN,
     "SECONDNet": SECONDNet,
     "V2XLateFusion": V2XLateFusion,
 }

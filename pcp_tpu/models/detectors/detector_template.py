@@ -96,10 +96,20 @@ class Detector3DTemplate(nn.Module):
         if cfg.get("BACKBONE_3D") is not None:
             b3d = build_backbone_3d(cfg["BACKBONE_3D"], info, num_point_features)
             modules.append(b3d)
+            if cfg["BACKBONE_3D"].get("FP_MLPS"):  # PointNet2 family
+                num_point_features = int(list(cfg["BACKBONE_3D"]["FP_MLPS"][0])[-1])
         if cfg.get("MAP_TO_BEV") is not None:
             m2b = build_map_to_bev(cfg["MAP_TO_BEV"], info)
             modules.append(m2b)
             num_bev_features = int(cfg["MAP_TO_BEV"]["NUM_BEV_FEATURES"])
+        if cfg.get("PFE") is not None:
+            from ..backbones_3d.pfe import build_pfe
+
+            modules.append(
+                build_pfe(cfg["PFE"], info, num_bev_features,
+                          info.num_point_features, name="pfe")
+            )
+            num_point_features = int(cfg["PFE"]["NUM_OUTPUT_FEATURES"])
         if cfg.get("BACKBONE_2D") is not None:
             b2d = build_backbone_2d(cfg["BACKBONE_2D"], num_bev_features, bf16=bf16)
             modules.append(b2d)
@@ -116,6 +126,25 @@ class Detector3DTemplate(nn.Module):
                     cfg["DENSE_HEAD"], info, num_bev_features, self.num_class,
                     predict_boxes_when_training=cfg.get("ROI_HEAD") is not None,
                     bf16=bf16, name="dense_head",
+                )
+            )
+        if cfg.get("POINT_HEAD") is not None:
+            from ..dense_heads import build_point_head
+
+            modules.append(
+                build_point_head(
+                    cfg["POINT_HEAD"], num_point_features, self.num_class,
+                    predict_boxes_when_training=cfg.get("ROI_HEAD") is not None,
+                    name="point_head",
+                )
+            )
+        if cfg.get("ROI_HEAD") is not None:
+            from ..roi_heads import build_roi_head
+
+            modules.append(
+                build_roi_head(
+                    cfg["ROI_HEAD"], self.num_class, num_point_features,
+                    info=info, name="roi_head",
                 )
             )
         return modules

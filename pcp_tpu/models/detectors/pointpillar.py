@@ -46,8 +46,14 @@ def generic_post_processing(model_cfg, num_class, batch):
         return out
 
     max_scores = jnp.max(cls_preds, axis=-1)
-    label_preds = jnp.argmax(cls_preds, axis=-1) + 1  # 1-based (:316)
-    valid = jnp.ones(max_scores.shape, dtype=bool)
+    if batch.get("has_class_labels", False):
+        # two-stage path: labels come from the ROI stage (:307-309)
+        label_preds = batch["roi_labels"]
+    else:
+        label_preds = jnp.argmax(cls_preds, axis=-1) + 1  # 1-based (:316)
+    valid = batch.get("batch_pred_valid")
+    if valid is None:
+        valid = jnp.ones(max_scores.shape, dtype=bool)
 
     def one(bp, sc, vm):
         return class_agnostic_nms(bp, sc, vm, nms_cfg, score_thresh=score_thresh)

@@ -1,9 +1,10 @@
 from .pointpillar_scatter import PointPillarScatter
-from .height_compression import HeightCompression
+from .height_compression import Conv2DCollapse, HeightCompression
 
 __all__ = {
     "PointPillarScatter": PointPillarScatter,
     "HeightCompression": HeightCompression,
+    "Conv2DCollapse": Conv2DCollapse,
 }
 
 

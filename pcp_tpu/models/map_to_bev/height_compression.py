@@ -29,4 +29,33 @@ class HeightCompression(nn.Module):
         )
         out = dict(batch)
         out["spatial_features"] = bev
+        out["spatial_features_stride"] = 8
+        return out
+
+
+class Conv2DCollapse(nn.Module):
+    """Learned z-collapse: concat the height slices into channels and reduce
+    with Conv+BN+ReLU (reference map_to_bev/conv2d_collapse.py:7-38 +
+    model_utils/basic_block_2d.py). Consumes a dense voxel grid
+    ``voxel_features_dense`` (B, Z, Y, X, C) — the camera-VFE (frustum-to-
+    voxel) output layout in this codebase."""
+
+    model_cfg: Any
+    grid_size: Sequence[int]
+
+    @nn.compact
+    def __call__(self, batch, train=False):
+        dense = batch["voxel_features_dense"]  # (B, Z, Y, X, C)
+        b, z, ny, nx, c = dense.shape
+        x = jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, ny, nx, z * c)
+        args = {k.lower(): v for k, v in self.model_cfg.get("ARGS", {}).items()}
+        ksize = int(args.get("kernel_size", 1))
+        pad = int(args.get("padding", 0))
+        x = nn.Conv(int(self.model_cfg["NUM_BEV_FEATURES"]), (ksize, ksize),
+                    padding=((pad, pad), (pad, pad)),
+                    use_bias=bool(args.get("bias", True)), name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn")(x)
+        out = dict(batch)
+        out["spatial_features"] = nn.relu(x)
         return out

@@ -35,12 +35,17 @@ def create_train_state(model, tx, rng, example_batch):
 
 def make_train_step(model, tx, donate=True):
     def train_step(state, batch):
+        # per-step PRNG for stochastic modules (ROI target subsampling);
+        # folded from the step counter so resume reproduces the stream
+        rngs = {"sampling": jax.random.fold_in(jax.random.PRNGKey(20260816), state.step)}
+
         def loss_fn(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 train=True,
                 mutable=["batch_stats"],
+                rngs=rngs,
             )
             return out["loss"], (out["tb_dict"], updates["batch_stats"])
 

@@ -76,6 +76,59 @@ class ResidualCoder:
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *cgs], axis=-1)
 
 
+class PointResidualCoder:
+    """Point-relative residual coding with per-class mean sizes
+    (reference box_coder_utils.py:144-230). Heading is always sin/cos-coded
+    (code_size = 8 + extras)."""
+
+    def __init__(self, code_size=8, use_mean_size=True, **kwargs):
+        self.code_size = code_size
+        self.use_mean_size = use_mean_size
+        if self.use_mean_size:
+            self.mean_size = jnp.asarray(kwargs["mean_size"], jnp.float32)
+            assert float(self.mean_size.min()) > 0
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        """gt_boxes (N, 7+C), points (N, 3), gt_classes (N,) 1-based."""
+        dims = jnp.clip(gt_boxes[..., 3:6], min=1e-5)
+        xg, yg, zg = gt_boxes[..., 0], gt_boxes[..., 1], gt_boxes[..., 2]
+        dxg, dyg, dzg = dims[..., 0], dims[..., 1], dims[..., 2]
+        rg = gt_boxes[..., 6]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+
+        if self.use_mean_size:
+            anchor = self.mean_size[jnp.clip(gt_classes - 1, 0)]
+            dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+            diagonal = jnp.sqrt(dxa**2 + dya**2)
+            xt, yt, zt = (xg - xa) / diagonal, (yg - ya) / diagonal, (zg - za) / dza
+            dxt, dyt, dzt = jnp.log(dxg / dxa), jnp.log(dyg / dya), jnp.log(dzg / dza)
+        else:
+            xt, yt, zt = xg - xa, yg - ya, zg - za
+            dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+        cts = [gt_boxes[..., 7 + i] for i in range(gt_boxes.shape[-1] - 7)]
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt, jnp.cos(rg), jnp.sin(rg), *cts], axis=-1)
+
+    def decode(self, box_encodings, points, pred_classes=None):
+        """box_encodings (N, 8+C), points (N, 3), pred_classes 1-based."""
+        xt, yt, zt = box_encodings[..., 0], box_encodings[..., 1], box_encodings[..., 2]
+        dxt, dyt, dzt = box_encodings[..., 3], box_encodings[..., 4], box_encodings[..., 5]
+        cost, sint = box_encodings[..., 6], box_encodings[..., 7]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+
+        if self.use_mean_size:
+            anchor = self.mean_size[jnp.clip(pred_classes - 1, 0)]
+            dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+            diagonal = jnp.sqrt(dxa**2 + dya**2)
+            xg, yg, zg = xt * diagonal + xa, yt * diagonal + ya, zt * dza + za
+            dxg, dyg, dzg = jnp.exp(dxt) * dxa, jnp.exp(dyt) * dya, jnp.exp(dzt) * dza
+        else:
+            xg, yg, zg = xt + xa, yt + ya, zt + za
+            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+        rg = jnp.arctan2(sint, cost)
+        cgs = [box_encodings[..., 8 + i] for i in range(box_encodings.shape[-1] - 8)]
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *cgs], axis=-1)
+
+
 class PreviousResidualDecoder:
     """Legacy (w, l, h)-ordered decoder (reference box_coder_utils.py:91-126)."""
 

@@ -41,6 +41,9 @@ def parse_config(argv=None):
     parser.add_argument("--max_waiting_mins", type=int, default=30)
     parser.add_argument("--start_epoch", type=int, default=0)
     parser.add_argument("--infer_time", action="store_true", default=False)
+    parser.add_argument("--bn_recal", type=int, default=0, metavar="N",
+                        help="recalibrate BN running stats over N train batches "
+                             "before eval (0 = off); fixes small-dataset EMA drift")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -86,6 +89,20 @@ def eval_single_ckpt(model, test_set, test_loader, args, cfg_, eval_dir, logger,
             logger.warning("no checkpoint given -> random init (smoke mode)")
             example = next(iter(test_loader))
             variables = model.init(jax.random.PRNGKey(0), _to_device_batch(example), train=False)
+
+    if variables is not None and args.bn_recal and variables.get("batch_stats"):
+        from pcp_tpu.train.bn_recal import recalibrate_batch_stats
+
+        _, train_loader, _ = build_dataloader(
+            dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+            batch_size=args.batch_size or cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU,
+            workers=args.workers, logger=logger, training=True,
+        )
+        variables = dict(variables)
+        variables["batch_stats"] = recalibrate_batch_stats(
+            model, variables["params"], variables["batch_stats"], train_loader,
+            to_device=_to_device_batch, max_batches=args.bn_recal, logger=logger,
+        )
 
     result_str, result_dict, _ = eval_one_epoch(
         model, variables, test_set, test_loader, cfg_.CLASS_NAMES, logger=logger,

@@ -112,5 +112,20 @@ if __name__ == "__main__":
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--out_dir", type=str, default=None)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
+                        help="DATA_CONFIG overrides as KEY VALUE pairs (e.g. "
+                             "--set SYNTHETIC \"{'NUM_SCENES': 15}\")")
     args = parser.parse_args()
-    gen_exchange_database(args.agent, args.ckpt, args.synthetic, args.out_dir)
+    overrides = None
+    if args.set_cfgs:
+        import ast
+
+        assert len(args.set_cfgs) % 2 == 0, "--set expects KEY VALUE pairs"
+        overrides = {}
+        for k, v in zip(args.set_cfgs[0::2], args.set_cfgs[1::2]):
+            try:
+                overrides[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                overrides[k] = v
+    gen_exchange_database(args.agent, args.ckpt, args.synthetic, args.out_dir,
+                          cfg_overrides=overrides)

@@ -3,9 +3,13 @@
 Measures the full on-device pipeline (dynamic pillar voxelize -> PFN ->
 BEV backbone -> CenterHead decode -> rotated NMS) in point-clouds/sec/chip —
 the BASELINE.json north-star metric. The reference publishes no throughput
-number; BASELINE_REF_PCS below is a generous estimate of the CUDA reference's
-single-GPU eval throughput (README trains/evals on 1x RTX A6000; OpenPCDet
-pillar models log sec_per_example ~= 0.01 s in that setting -> ~100 clouds/s).
+number; BASELINE_REF_PCS is pinned by the three-way method in BASELINE.md
+("Throughput baseline: measurement + derivation"): a measured torch-CPU
+floor (workspace/measure_torch_baseline.py: 0.55 clouds/s/core on this
+host), an analytic FLOP bound (~134 GFLOPs/cloud -> 40-150 clouds/s on an
+RTX A6000 at 15-50% conv utilization), and published same-family GPU
+numbers (~50-80 clouds/s scaled from the PointPillars paper). 100 is the
+optimistic end of that bracket, making vs_baseline a conservative ratio.
 
 Timing methodology: the device may sit behind an async tunnel where
 ``block_until_ready`` returns before execution finishes, so we scan the

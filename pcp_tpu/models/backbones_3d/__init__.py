@@ -1,8 +1,9 @@
 from .pointnet2_backbone import PointNet2MSG
-from .spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from .spconv_backbone import UNetV2, VoxelBackBone8x, VoxelResBackBone8x
 
 __all__ = {
     "PointNet2MSG": PointNet2MSG,
+    "UNetV2": UNetV2,
     "VoxelBackBone8x": VoxelBackBone8x,
     "VoxelResBackBone8x": VoxelResBackBone8x,
 }

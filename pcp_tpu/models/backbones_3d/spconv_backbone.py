@@ -170,3 +170,124 @@ class VoxelResBackBone8x(nn.Module):
 # topology; the V2X second configs use only the residual flavor, so it is an
 # alias here (plain-conv blocks land if a config ever needs exact VoxelBackBone8x).
 VoxelBackBone8x = VoxelResBackBone8x
+
+
+class _InverseSparseConv(nn.Module):
+    """Transposed strided conv back onto the paired fine active set
+    (spconv 'inverseconv' with shared indice_key)."""
+
+    out_channels: int
+    kernel_size: Any = 3
+    stride: Any = 2
+    padding: Any = 1
+
+    @nn.compact
+    def __call__(self, coarse_ids, feats, fine_ids, fine_dims, coarse_dims, train=False):
+        ks = self.kernel_size
+        k = ks[0] * ks[1] * ks[2] if isinstance(ks, (tuple, list)) else ks ** 3
+        w = _conv_param(self, "kernel", k, feats.shape[-1], self.out_channels)
+        x = sparse3d.inverse_conv_apply(
+            coarse_ids, feats, fine_ids, fine_dims, coarse_dims,
+            ks, self.stride, self.padding, w)
+        valid = fine_ids < fine_dims[0] * fine_dims[1] * fine_dims[2]
+        x = MaskedBatchNorm(momentum=0.01, epsilon=1e-3, name="norm")(
+            x, mask=valid, use_running_average=not train)
+        return jnp.where(valid[..., None], nn.relu(x), 0.0)
+
+
+class UNetV2(nn.Module):
+    """Sparse encoder-decoder (Part-A2's backbone).
+
+    Behavioral counterpart of
+    /root/reference/pcdet/models/backbones_3d/spconv_unet.py:49-212: the
+    VoxelBackBone8x encoder (16/32/64/64 + conv_out 128) plus UR decoder
+    blocks — lateral SparseBasicBlock, bottom|lateral concat through a subm
+    merge conv, grouped-sum channel reduction residual, inverse conv up one
+    level — emitting per-voxel 16-wide point features at full resolution.
+    """
+
+    model_cfg: Any
+    info: Any
+    num_point_features: int
+
+    @nn.compact
+    def __call__(self, batch, train=False):
+        ids = batch["voxel_ids"]
+        feats = batch["voxel_features"]
+        dims = batch["sparse_dims"]
+        b, v, _ = feats.shape
+        offs = sparse3d.kernel_offsets(3)
+
+        def limit(d):
+            return d[0] * d[1] * d[2]
+
+        # ---------------- encoder (reference conv_input..conv4)
+        nmap1 = sparse3d.neighbor_map_subm(ids, offs, dims)
+        valid1 = ids < limit(dims)
+        x = SparseSubMConv(16, name="conv_input")(feats, nmap1, valid1, train)
+        x1 = SparseSubMConv(16, name="conv1_0")(x, nmap1, valid1, train)
+
+        levels = {1: (ids, x1, dims, nmap1, valid1)}
+        stage_cfgs = [
+            (2, 32, 3, 2, 1),
+            (3, 64, 3, 2, 1),
+            (4, 64, 3, 2, (0, 1, 1)),
+        ]
+        cur_ids, cur_dims, cur_x = ids, dims, x1
+        for lvl, ch, ksz, st, pad in stage_cfgs:
+            out_dims = _out_dims(cur_dims, ksz, st, pad)
+            out_ids = sparse3d.strided_output_ids(
+                cur_ids, cur_dims, out_dims, ksz, st, pad, budget=v)
+            cur_x, valid = _StridedSparseConv(ch, ksz, st, pad, name=f"conv{lvl}_down")(
+                cur_ids, cur_x, cur_dims, out_dims, out_ids, train)
+            nmap = sparse3d.neighbor_map_subm(out_ids, offs, out_dims)
+            for i in range(2):
+                cur_x = SparseSubMConv(ch, name=f"conv{lvl}_{i}")(cur_x, nmap, valid, train)
+            cur_ids, cur_dims = out_ids, out_dims
+            levels[lvl] = (cur_ids, cur_x, cur_dims, nmap, valid)
+
+        out = dict(batch)
+        if self.model_cfg.get("RETURN_ENCODED_TENSOR", True):
+            od = _out_dims(cur_dims, (3, 1, 1), (2, 1, 1), 0)
+            oids = sparse3d.strided_output_ids(
+                cur_ids, cur_dims, od, (3, 1, 1), (2, 1, 1), 0, budget=v)
+            xo, _ = _StridedSparseConv(128, (3, 1, 1), (2, 1, 1), 0, name="conv_out")(
+                cur_ids, cur_x, cur_dims, od, oids, train)
+            out["encoded_spconv_tensor"] = (oids, xo)
+            out["encoded_spconv_dims"] = od
+            out["multi_scale_3d_features"] = {
+                f"x_conv{l}": (levels[l][0], levels[l][1], levels[l][2],
+                               (1, 2, 4, 8)[l - 1]) for l in (1, 2, 3, 4)
+            }
+
+        # ---------------- decoder (UR blocks, reference :135-144; the
+        # grouped-sum channel_reduction residual is :146-160)
+        def ur(lvl, bottom, ch_m, inv_out, fine_lvl, inv_pad, name):
+            l_ids, l_x, l_dims, l_nmap, l_valid = levels[lvl]
+            x_trans = SparseBasicBlock(l_x.shape[-1], name=f"{name}_t")(
+                l_x, l_nmap, l_valid, train)
+            cat = jnp.concatenate([bottom, x_trans], axis=-1)
+            x_m = SparseSubMConv(ch_m, name=f"{name}_m")(cat, l_nmap, l_valid, train)
+            red = cat.reshape(cat.shape[0], cat.shape[1], ch_m, -1).sum(-1)
+            merged = x_m + red
+            if fine_lvl is None:
+                return SparseSubMConv(ch_m, name=f"{name}_out")(
+                    merged, l_nmap, l_valid, train)
+            f_ids, _, f_dims, _, _ = levels[fine_lvl]
+            return _InverseSparseConv(inv_out, 3, 2, inv_pad, name=f"{name}_inv")(
+                l_ids, merged, f_ids, f_dims, l_dims, train)
+
+        x_up4 = ur(4, levels[4][1], 64, 64, 3, (0, 1, 1), "up4")   # lvl4 -> lvl3
+        x_up3 = ur(3, x_up4, 64, 32, 2, 1, "up3")                  # lvl3 -> lvl2
+        x_up2 = ur(2, x_up3, 32, 16, 1, 1, "up2")                  # lvl2 -> lvl1
+        x_up1 = ur(1, x_up2, 16, 16, None, 1, "up1")               # lvl1 (conv5)
+
+        nzp, nyd, nxd = dims
+        vs = jnp.asarray(self.info.voxel_size, jnp.float32)
+        mins = jnp.asarray(self.info.point_cloud_range[0:3], jnp.float32)
+        zz, yy, xx = sparse3d.decode_ids(jnp.minimum(ids, limit(dims) - 1), dims)
+        centers = (jnp.stack([xx, yy, zz], axis=-1).astype(jnp.float32) + 0.5) * vs + mins
+        out["point_features"] = x_up1  # (B, V, 16)
+        out["point_coords"] = centers
+        out["point_coords_mask"] = valid1
+        return out

@@ -2,13 +2,14 @@ import dataclasses
 
 from .anchor_head_single import AnchorHeadSingle
 from .center_head import CenterHead
-from .point_head import PointHeadBox, PointHeadSimple
+from .point_head import PointHeadBox, PointHeadSimple, PointIntraPartOffsetHead
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
     "CenterHead": CenterHead,
     "PointHeadSimple": PointHeadSimple,
     "PointHeadBox": PointHeadBox,
+    "PointIntraPartOffsetHead": PointIntraPartOffsetHead,
 }
 
 

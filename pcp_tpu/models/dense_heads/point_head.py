@@ -45,7 +45,8 @@ class _PointHeadBase(nn.Module):
         return nn.Dense(out_channels, name=f"{prefix}_out")(x)
 
     def assign_stack_targets(self, coords, mask, gt_boxes, extend_gt_boxes=None,
-                             ret_box_labels=False, set_ignore_flag=True,
+                             ret_box_labels=False, ret_part_labels=False,
+                             set_ignore_flag=True,
                              use_ball_constraint=False, central_radius=2.0,
                              box_coder=None):
         """coords (B,N,3), gt_boxes (B,M,8) zero-padded, 1-based class last."""
@@ -75,7 +76,31 @@ class _PointHeadBase(nn.Module):
         if ret_box_labels:
             enc = box_coder.encode(gt_of_pts[..., :-1], coords, cls_of_fg)
             out["point_box_labels"] = jnp.where(fg[..., None], enc, 0.0)
+        if ret_part_labels:
+            # intra-object part location in [0, 1]^3 (reference
+            # point_head_template.py:116-124)
+            b, n = coords.shape[:2]
+            rel = coords - gt_of_pts[..., 0:3]
+            c, s = jnp.cos(-gt_of_pts[..., 6]), jnp.sin(-gt_of_pts[..., 6])
+            lx = c * rel[..., 0] - s * rel[..., 1]
+            ly = s * rel[..., 0] + c * rel[..., 1]
+            local = jnp.stack([lx, ly, rel[..., 2]], axis=-1)
+            part = local / jnp.maximum(gt_of_pts[..., 3:6], 1e-5) + 0.5
+            out["point_part_labels"] = jnp.where(fg[..., None], part, 0.0)
         return out
+
+    def get_part_layer_loss(self, fwd):
+        """BCE over sigmoid part offsets (reference point_head_template.py:157-171)."""
+        pos = (fwd["point_cls_labels"] > 0).astype(jnp.float32)
+        norm = jnp.clip(jnp.sum(pos), 1.0)
+        p = jax.nn.sigmoid(fwd["point_part_preds"])
+        t = jnp.clip(fwd["point_part_labels"], 0.0, 1.0)
+        eps = 1e-7
+        bce = -(t * jnp.log(jnp.clip(p, eps, 1.0)) + (1 - t) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
+        loss = jnp.sum(jnp.sum(bce, axis=-1) * pos) / (3 * norm)
+        w = float(self.model_cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"].get("point_part_weight", 1.0))
+        loss = loss * w
+        return loss, {"point_loss_part": loss}
 
     def get_cls_layer_loss(self, fwd):
         labels = fwd["point_cls_labels"]  # (B, N)
@@ -185,4 +210,46 @@ class PointHeadBox(_PointHeadBase):
             out["batch_box_preds"] = decoded
             out["batch_pred_valid"] = mask
             out["cls_preds_normalized"] = False
+        return out
+
+
+class PointIntraPartOffsetHead(_PointHeadBase):
+    """Intra-object part-location head (Part-A2's first stage;
+    reference point_intra_part_head.py): per-point 3-sigmoid part offsets +
+    foreground logits, targets from points-in-gt canonical positions."""
+
+    @nn.compact
+    def __call__(self, batch, train=False):
+        out = dict(batch)
+        feats = out["point_features"]
+        mask = out["point_coords_mask"]
+        part_preds = self.mlp_stack(
+            feats, self.model_cfg["PART_FC"], 3, mask=mask, train=train, prefix="part")
+        out["point_part_offset"] = jax.nn.sigmoid(part_preds)
+        cls_preds = None
+        if not self.model_cfg.get("DISABLE_CLS_LAYER", False):
+            cls_preds = self.mlp_stack(
+                feats, self.model_cfg["CLS_FC"], self.num_class,
+                mask=mask, train=train, prefix="cls")
+            out["point_cls_scores"] = jax.nn.sigmoid(jnp.max(cls_preds, axis=-1))
+
+        if train:
+            targets = self.assign_stack_targets(
+                out["point_coords"], mask, out["gt_boxes"],
+                extend_gt_boxes=enlarge_box3d(
+                    out["gt_boxes"],
+                    self.model_cfg["TARGET_CONFIG"]["GT_EXTRA_WIDTH"]),
+                ret_box_labels=False, ret_part_labels=True, set_ignore_flag=True)
+            fwd = {"point_cls_labels": targets["point_cls_labels"],
+                   "point_part_labels": targets["point_part_labels"],
+                   "point_part_preds": part_preds,
+                   "points_valid": mask}
+            loss, tb = self.get_part_layer_loss(fwd)
+            if cls_preds is not None:
+                fwd["point_cls_preds"] = cls_preds
+                cls_loss, tb2 = self.get_cls_layer_loss(fwd)
+                loss = loss + cls_loss
+                tb.update(tb2)
+            out["point_head_loss"] = loss
+            out["point_head_tb"] = tb
         return out

@@ -1,16 +1,23 @@
 from .centerpoint import CenterPoint
+from .parta2_net import PartA2Net
 from .detector_template import Detector3DTemplate, DatasetInfo
 from .pointpillar import PointPillar, SECONDNet
 from .pointrcnn import PointRCNN
 from .pvrcnn import PVRCNN
+from .second_net_iou import SECONDNetIoU
+from .voxel_rcnn import VoxelRCNN
 from .v2x_late_fusion import V2XLateFusion
 
 __all__ = {
     "CenterPoint": CenterPoint,
+    "PartA2": PartA2Net,
+    "PartA2Net": PartA2Net,
     "PointPillar": PointPillar,
     "PointRCNN": PointRCNN,
     "PVRCNN": PVRCNN,
     "SECONDNet": SECONDNet,
+    "SECONDNetIoU": SECONDNetIoU,
+    "VoxelRCNN": VoxelRCNN,
     "V2XLateFusion": V2XLateFusion,
 }
 

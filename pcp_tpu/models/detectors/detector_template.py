@@ -98,6 +98,8 @@ class Detector3DTemplate(nn.Module):
             modules.append(b3d)
             if cfg["BACKBONE_3D"].get("FP_MLPS"):  # PointNet2 family
                 num_point_features = int(list(cfg["BACKBONE_3D"]["FP_MLPS"][0])[-1])
+            elif cfg["BACKBONE_3D"]["NAME"] == "UNetV2":
+                num_point_features = 16  # decoder output width (spconv_unet.py:133)
         if cfg.get("MAP_TO_BEV") is not None:
             m2b = build_map_to_bev(cfg["MAP_TO_BEV"], info)
             modules.append(m2b)

@@ -1,10 +1,16 @@
+from .parta2_head import PartA2FCHead
 from .pointrcnn_head import PointRCNNHead
 from .pvrcnn_head import PVRCNNHead
+from .second_head import SECONDHead
+from .voxelrcnn_head import VoxelRCNNHead
 from .roi_head_template import RoIHeadTemplate
 
 __all__ = {
+    "PartA2FCHead": PartA2FCHead,
     "PointRCNNHead": PointRCNNHead,
     "PVRCNNHead": PVRCNNHead,
+    "SECONDHead": SECONDHead,
+    "VoxelRCNNHead": VoxelRCNNHead,
 }
 
 

@@ -257,6 +257,61 @@ def strided_conv_apply(in_ids, feats, out_ids, dims, out_dims, kernel_size, stri
     return out
 
 
+def inverse_conv_apply(coarse_ids, coarse_feats, fine_ids, fine_dims, coarse_dims,
+                       kernel_size, stride, padding, weights):
+    """Inverse (transposed) sparse conv: scatter coarse features back onto the
+    fine active set of the paired strided conv (spconv's 'inverseconv' with a
+    shared indice_key). For fine site i and kernel offset d, the contributing
+    coarse site is o = (i + p - d) / s when exact — the transpose of
+    strided_conv_apply's gather arithmetic.
+
+    weights: (K, Cin, Cout) in the same kernel-offset order.
+    """
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * 3
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = (padding,) * 3
+    nz, ny, nx = fine_dims
+    oz_n, oy_n, ox_n = coarse_dims
+    limit_f = nz * ny * nx
+    limit_c = oz_n * oy_n * ox_n
+
+    z, y, x = decode_ids(jnp.minimum(fine_ids, limit_f - 1), fine_dims)
+    fine_valid = fine_ids < limit_f
+
+    out = None
+    k_idx = 0
+    for dz in range(kernel_size[0]):
+        for dy in range(kernel_size[1]):
+            for dx in range(kernel_size[2]):
+                num_z = z + padding[0] - dz
+                num_y = y + padding[1] - dy
+                num_x = x + padding[2] - dx
+                oz = num_z // stride[0]
+                oy = num_y // stride[1]
+                ox = num_x // stride[2]
+                exact = (
+                    (oz * stride[0] == num_z)
+                    & (oy * stride[1] == num_y)
+                    & (ox * stride[2] == num_x)
+                )
+                ok = (
+                    fine_valid & exact
+                    & (oz >= 0) & (oz < oz_n) & (oy >= 0) & (oy < oy_n)
+                    & (ox >= 0) & (ox < ox_n)
+                )
+                qid = jnp.where(ok, (oz * oy_n + oy) * ox_n + ox, limit_c)
+                pos = build_gather_map(coarse_ids, qid, limit_c)
+                gathered = jnp.take_along_axis(coarse_feats, jnp.clip(pos, 0)[..., None], axis=1)
+                gathered = jnp.where((pos >= 0)[..., None], gathered, 0.0)
+                term = jnp.einsum("bvc,cd->bvd", gathered, weights[k_idx])
+                out = term if out is None else out + term
+                k_idx += 1
+    return out
+
+
 def sparse_to_dense(ids, feats, dims, limit=None):
     """Scatter a sparse tensor to a dense (B, nz, ny, nx, C) grid."""
     nz, ny, nx = dims

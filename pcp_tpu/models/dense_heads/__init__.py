@@ -1,11 +1,12 @@
 import dataclasses
 
-from .anchor_head_single import AnchorHeadSingle
+from .anchor_head_single import AnchorHeadMulti, AnchorHeadSingle
 from .center_head import CenterHead
 from .point_head import PointHeadBox, PointHeadSimple, PointIntraPartOffsetHead
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
+    "AnchorHeadMulti": AnchorHeadMulti,
     "CenterHead": CenterHead,
     "PointHeadSimple": PointHeadSimple,
     "PointHeadBox": PointHeadBox,

@@ -372,3 +372,103 @@ class AnchorHeadSingle(nn.Module):
             tb["rpn_loss_dir"] = dir_loss
         tb["rpn_loss"] = total
         return total, tb
+
+
+class AnchorHeadMulti(AnchorHeadSingle):
+    """Grouped-head anchor RPN (reference anchor_head_multi.py:151-297).
+
+    Shares AnchorHeadSingle's anchors, target assignment, losses and decode;
+    replaces the prediction towers with an optional 3x3 shared conv followed
+    by one SingleHead per RPN_HEAD_CFGS group (1x1 cls/box/dir convs, or the
+    SEPARATE_REG_CONFIG middle-conv towers, reference SingleHead :10-148).
+    Per-location outputs are concatenated in anchor-set order, so the flat
+    anchor layout matches the single-head path exactly.
+    SEPARATE_MULTIHEAD (per-head class lists + multihead NMS label mapping)
+    is not implemented — it fails loudly.
+    """
+
+    def setup(self):
+        super().setup()
+        cfg = self.model_cfg
+        if bool(cfg.get("SEPARATE_MULTIHEAD", False)):
+            raise NotImplementedError("SEPARATE_MULTIHEAD")
+        self.shared_filters = cfg.get("SHARED_CONV_NUM_FILTER")
+        self.rpn_head_cfgs = list(cfg["RPN_HEAD_CFGS"])
+        # per-head anchor counts: sum of set sizes of the head's class names
+        counts = [
+            int(sum(self.set_sizes[self.anchor_class_names.index(c)]
+                    for c in hc["HEAD_CLS_NAME"]))
+            for hc in self.rpn_head_cfgs
+        ]
+        assert sum(counts) == self.num_anchors_per_location
+        self.head_anchor_counts = counts
+
+    @nn.compact
+    def _towers(self, x, train):
+        cfg = self.model_cfg
+        if self.shared_filters is not None:
+            x = nn.Conv(int(self.shared_filters), (3, 3), padding=1,
+                        use_bias=False, name="shared_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, name="shared_bn")(x)
+            x = nn.relu(x)
+        sep = cfg.get("SEPARATE_REG_CONFIG")
+        pi = 0.01
+        cls_parts, box_parts, dir_parts = [], [], []
+        for i, na in enumerate(self.head_anchor_counts):
+            if sep is not None:
+                def mid(h, prefix):
+                    for k in range(int(sep["NUM_MIDDLE_CONV"])):
+                        h = nn.Conv(int(sep["NUM_MIDDLE_FILTER"]), (3, 3), padding=1,
+                                    use_bias=False, name=f"{prefix}_{k}")(h)
+                        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                         epsilon=1e-5, name=f"{prefix}_bn_{k}")(h)
+                        h = nn.relu(h)
+                    return h
+                c = nn.Conv(na * self.num_class, (3, 3), padding=1,
+                            bias_init=nn.initializers.constant(-np.log((1 - pi) / pi)),
+                            name=f"head{i}_cls_out")(mid(x, f"head{i}_cls"))
+                regs = []
+                for reg_cfg in sep["REG_LIST"]:
+                    rname, rchan = reg_cfg.split(":")
+                    r = nn.Conv(na * int(rchan), (3, 3), padding=1,
+                                name=f"head{i}_reg_{rname}")(mid(x, f"head{i}_reg_{rname}_mid"))
+                    regs.append(r.reshape(r.shape[:3] + (na, int(rchan))))
+                b = jnp.concatenate(regs, axis=-1)
+            else:
+                c = nn.Conv(na * self.num_class, (1, 1),
+                            bias_init=nn.initializers.constant(-np.log((1 - pi) / pi)),
+                            name=f"head{i}_cls")(x)
+                b = nn.Conv(na * self.box_coder.code_size, (1, 1),
+                            kernel_init=nn.initializers.normal(stddev=0.001),
+                            name=f"head{i}_box")(x)
+                b = b.reshape(b.shape[:3] + (na, self.box_coder.code_size))
+            cls_parts.append(c.reshape(c.shape[:3] + (na, self.num_class)))
+            box_parts.append(b)
+            if self.use_dir:
+                d = nn.Conv(na * self.num_dir_bins, (1, 1), name=f"head{i}_dir")(x)
+                dir_parts.append(d.reshape(d.shape[:3] + (na, self.num_dir_bins)))
+        cls = jnp.concatenate(cls_parts, axis=3)
+        box = jnp.concatenate(box_parts, axis=3)
+        dirp = jnp.concatenate(dir_parts, axis=3) if dir_parts else None
+        return cls, box, dirp
+
+    def __call__(self, batch, train=False):
+        x = batch["spatial_features_2d"]
+        b = x.shape[0]
+        cls, box, dirp = self._towers(x, train)
+        cls_preds = cls.reshape(b, -1, self.num_class)
+        box_preds = box.reshape(b, -1, self.box_coder.code_size)
+        dir_preds = dirp.reshape(b, -1, self.num_dir_bins) if dirp is not None else None
+
+        out = dict(batch)
+        out["head_preds"] = {"cls_preds": cls_preds, "box_preds": box_preds,
+                             "dir_cls_preds": dir_preds}
+        if train:
+            out["head_targets"] = self.assign_targets(batch["gt_boxes"])
+        if not train or self.predict_boxes_when_training:
+            batch_cls, batch_box = self.generate_predicted_boxes(cls_preds, box_preds, dir_preds)
+            out["batch_cls_preds"] = batch_cls
+            out["batch_box_preds"] = batch_box
+            out["cls_preds_normalized"] = False
+        return out

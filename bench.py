@@ -55,7 +55,14 @@ def main():
 
     mask = jnp.ones((BATCH, NPOINTS), dtype=bool)
     batch0 = {"points": jnp.asarray(pts[0]), "points_mask": mask, "batch_size": BATCH}
-    variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
+    ckpt = os.environ.get("BENCH_CKPT")
+    if ckpt:
+        # trained weights give a realistic detection/NMS occupancy profile
+        from pcp_tpu.train.checkpoint import load_params_from_file
+
+        variables = load_params_from_file(ckpt)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
 
     @jax.jit
     def fwd_reduce(params, batch_stats, points):

@@ -1,3 +1,4 @@
+from .caddn import CaDDN
 from .centerpoint import CenterPoint
 from .parta2_net import PartA2Net
 from .detector_template import Detector3DTemplate, DatasetInfo
@@ -9,6 +10,7 @@ from .voxel_rcnn import VoxelRCNN
 from .v2x_late_fusion import V2XLateFusion
 
 __all__ = {
+    "CaDDN": CaDDN,
     "CenterPoint": CenterPoint,
     "PartA2": PartA2Net,
     "PartA2Net": PartA2Net,

@@ -1,4 +1,5 @@
 from .dynamic_pillar_vfe import DynamicPillarVFE
+from .image_vfe import ImageVFE
 from .dynamic_mean_vfe import DynamicMeanVFE
 
 # MeanVFE / PillarVFE (the reference's hard-voxelization flavours,
@@ -16,6 +17,7 @@ __all__ = {
     "DynMeanVFE": DynamicMeanVFE,
     "DynamicMeanVFE": DynamicMeanVFE,
     "MeanVFE": DynamicMeanVFE,
+    "ImageVFE": ImageVFE,
 }
 
 

@@ -1,7 +1,10 @@
+from .pillar_backbone_2d import PillarBackBone8x, PillarRes18BackBone8x
 from .pointnet2_backbone import PointNet2MSG
 from .spconv_backbone import UNetV2, VoxelBackBone8x, VoxelResBackBone8x
 
 __all__ = {
+    "PillarBackBone8x": PillarBackBone8x,
+    "PillarRes18BackBone8x": PillarRes18BackBone8x,
     "PointNet2MSG": PointNet2MSG,
     "UNetV2": UNetV2,
     "VoxelBackBone8x": VoxelBackBone8x,

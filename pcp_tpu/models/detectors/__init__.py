@@ -1,6 +1,7 @@
 from .caddn import CaDDN
 from .centerpoint import CenterPoint
 from .parta2_net import PartA2Net
+from .pillarnet import PillarNet
 from .detector_template import Detector3DTemplate, DatasetInfo
 from .pointpillar import PointPillar, SECONDNet
 from .pointrcnn import PointRCNN
@@ -12,6 +13,7 @@ from .v2x_late_fusion import V2XLateFusion
 __all__ = {
     "CaDDN": CaDDN,
     "CenterPoint": CenterPoint,
+    "PillarNet": PillarNet,
     "PartA2": PartA2Net,
     "PartA2Net": PartA2Net,
     "PointPillar": PointPillar,

@@ -74,14 +74,40 @@ class VoxelSetAbstraction(nn.Module):
         cfg = self.model_cfg
         sa_cfg = cfg["SA_LAYER"]
         assert cfg.get("POINT_SOURCE", "raw_points") == "raw_points"
-        assert cfg.get("SAMPLE_METHOD", "FPS") == "FPS"
 
         points = out["points"]
         mask = out["points_mask"]
         xyz = points[..., 0:3]
-        kp_idx = pn2.farthest_point_sample(xyz, int(cfg["NUM_KEYPOINTS"]), mask)
+        sample_method = cfg.get("SAMPLE_METHOD", "FPS")
+        if sample_method == "SPC":
+            # sectorized proposal-centric sampling (reference :206-225 +
+            # sample_points_with_roi :45-76): restrict candidates to points
+            # within roi_max_dim/2 + radius of any proposal, then FPS. The
+            # reference's per-sector quota exists to parallelize its CUDA
+            # FPS; a single masked FPS over the same candidate set is the
+            # TPU equivalent (one kernel, identical spatial spread).
+            spc = cfg["SPC_SAMPLING"]
+            rois = out["rois"][..., :7]
+            d = jnp.linalg.norm(
+                xyz[:, :, None, :] - rois[:, None, :, 0:3], axis=-1)  # (B,N,R)
+            roi_valid = jnp.any(rois != 0, axis=-1)  # (B,R)
+            d = jnp.where(roi_valid[:, None, :], d, 1e9)
+            min_d = jnp.min(d, axis=-1)
+            nearest = jnp.argmin(d, axis=-1)
+            half_diag = jnp.linalg.norm(
+                jnp.take_along_axis(rois[..., 3:6], nearest[..., None], axis=1) / 2,
+                axis=-1)
+            near_roi = min_d < half_diag + float(spc["SAMPLE_RADIUS_WITH_ROI"])
+            cand = mask & near_roi
+            # degenerate no-proposal case: fall back to all valid points
+            cand = jnp.where(jnp.any(cand, axis=1, keepdims=True), cand, mask)
+            kp_idx = pn2.farthest_point_sample(xyz, int(cfg["NUM_KEYPOINTS"]), cand)
+            kp_mask = jnp.take_along_axis(cand, kp_idx, axis=1)
+        else:
+            assert sample_method == "FPS", sample_method
+            kp_idx = pn2.farthest_point_sample(xyz, int(cfg["NUM_KEYPOINTS"]), mask)
+            kp_mask = jnp.take_along_axis(mask, kp_idx, axis=1)
         keypoints = pn2.gather_points(xyz, kp_idx)  # (B, K, 3)
-        kp_mask = jnp.take_along_axis(mask, kp_idx, axis=1)
 
         feats_list = []
         sources = list(cfg["FEATURES_SOURCE"])
@@ -92,22 +118,31 @@ class VoxelSetAbstraction(nn.Module):
             xy = (keypoints[..., 0:2] - mins) / vs / stride
             feats_list.append(bilinear_interpolate_bev(out["spatial_features"], xy))
 
-        def make_sa(src_cfg, name):
+        def aggregate(src_cfg, name, s_xyz, s_feats, s_mask, in_channels):
+            """StackSAModuleMSG or VectorPoolAggregationModuleMSG per config."""
+            if src_cfg.get("NAME") == "VectorPoolAggregationModuleMSG":
+                from ..vector_pool import VectorPoolAggregationModuleMSG
+
+                vp = VectorPoolAggregationModuleMSG(
+                    input_channels=in_channels, config=src_cfg, name=name)
+                return vp(s_xyz, s_feats, s_mask, keypoints, kp_mask, train=train)
             # npoint is only a mode switch here (non-None = "use the explicit
             # new_xyz we pass"); the keypoint count fixes the output shape
-            return PointnetSAModuleMSG(
+            sa = PointnetSAModuleMSG(
                 npoint=int(cfg["NUM_KEYPOINTS"]),
                 radii=[float(r) for r in src_cfg["POOL_RADIUS"]],
                 nsamples=[int(n) for n in src_cfg["NSAMPLE"]],
                 mlps=[list(m) for m in src_cfg["MLPS"]],
                 use_xyz=True, name=name)
+            _, pooled, _ = sa(s_xyz, s_feats, mask=s_mask,
+                              new_xyz=keypoints, new_mask=kp_mask, train=train)
+            return pooled
 
         if "raw_points" in sources:
             raw_feats = points[..., 3:] if points.shape[-1] > 3 else None
-            sa = make_sa(sa_cfg["raw_points"], "sa_rawpoints")
-            _, pooled, _ = sa(xyz, raw_feats, mask=mask,
-                              new_xyz=keypoints, new_mask=kp_mask, train=train)
-            feats_list.append(pooled)
+            feats_list.append(aggregate(
+                sa_cfg["raw_points"], "sa_rawpoints", xyz, raw_feats, mask,
+                max(points.shape[-1] - 3, 1)))
 
         for src in sources:
             if src in ("bev", "raw_points"):
@@ -116,10 +151,8 @@ class VoxelSetAbstraction(nn.Module):
             ds = int(sa_cfg[src]["DOWNSAMPLE_FACTOR"])
             centers, vvalid = get_voxel_centers_from_ids(
                 ids, dims, ds, self.voxel_size, self.point_cloud_range)
-            sa = make_sa(sa_cfg[src], f"sa_{src}")
-            _, pooled, _ = sa(centers, vfeat, mask=vvalid,
-                              new_xyz=keypoints, new_mask=kp_mask, train=train)
-            feats_list.append(pooled)
+            feats_list.append(aggregate(
+                sa_cfg[src], f"sa_{src}", centers, vfeat, vvalid, vfeat.shape[-1]))
 
         before_fusion = jnp.concatenate(feats_list, axis=-1)  # (B, K, C_in)
         h = nn.Dense(int(cfg["NUM_OUTPUT_FEATURES"]), use_bias=False, name="fusion")(

@@ -6,6 +6,7 @@ from .detector_template import Detector3DTemplate, DatasetInfo
 from .pointpillar import PointPillar, SECONDNet
 from .pointrcnn import PointRCNN
 from .pvrcnn import PVRCNN
+from .pv_rcnn_plusplus import PVRCNNPlusPlus
 from .second_net_iou import SECONDNetIoU
 from .voxel_rcnn import VoxelRCNN
 from .v2x_late_fusion import V2XLateFusion
@@ -19,6 +20,7 @@ __all__ = {
     "PointPillar": PointPillar,
     "PointRCNN": PointRCNN,
     "PVRCNN": PVRCNN,
+    "PVRCNNPlusPlus": PVRCNNPlusPlus,
     "SECONDNet": SECONDNet,
     "SECONDNetIoU": SECONDNetIoU,
     "VoxelRCNN": VoxelRCNN,

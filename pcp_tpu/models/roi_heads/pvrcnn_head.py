@@ -41,12 +41,17 @@ class PVRCNNHead(RoIHeadTemplate):
 
         targets = None
         if train:
-            key = (self.make_rng("sampling") if self.has_rng("sampling")
-                   else jax.random.PRNGKey(0))
-            targets = assign_targets(key, out, self.model_cfg["TARGET_CONFIG"],
-                                     sample_by_each_class=bool(
-                                         self.model_cfg["TARGET_CONFIG"].get(
-                                             "SAMPLE_ROI_BY_EACH_CLASS", False)))
+            if out.get("roi_targets_dict") is not None:
+                # PV-RCNN++ ordering: the detector sampled targets before the
+                # PFE so keypoints concentrate around the sampled ROIs
+                targets = out["roi_targets_dict"]
+            else:
+                key = (self.make_rng("sampling") if self.has_rng("sampling")
+                       else jax.random.PRNGKey(0))
+                targets = assign_targets(key, out, self.model_cfg["TARGET_CONFIG"],
+                                         sample_by_each_class=bool(
+                                             self.model_cfg["TARGET_CONFIG"].get(
+                                                 "SAMPLE_ROI_BY_EACH_CLASS", False)))
             out["rois"] = targets["rois"]
             out["roi_labels"] = targets["roi_labels"]
 
@@ -67,15 +72,24 @@ class PVRCNNHead(RoIHeadTemplate):
         global_grid = rot.reshape(b, r, g ** 3, 3) + rois[..., None, 0:3]
         new_xyz = global_grid.reshape(b, r * g ** 3, 3)
 
-        # npoint must be non-None to take explicit new_xyz; the value is unused
-        sa = PointnetSAModuleMSG(
-            npoint=new_xyz.shape[1],
-            radii=[float(x) for x in pool_cfg["POOL_RADIUS"]],
-            nsamples=[int(x) for x in pool_cfg["NSAMPLE"]],
-            mlps=[list(m) for m in pool_cfg["MLPS"]],
-            use_xyz=True, name="roi_grid_pool")
-        _, pooled, _ = sa(kp_xyz, kp_feats, mask=kp_mask,
-                          new_xyz=new_xyz, train=train)
+        grid_mask = jnp.ones(new_xyz.shape[:2], bool)
+        if pool_cfg.get("NAME") == "VectorPoolAggregationModuleMSG":
+            from ..backbones_3d.vector_pool import VectorPoolAggregationModuleMSG
+
+            vp = VectorPoolAggregationModuleMSG(
+                input_channels=kp_feats.shape[-1], config=pool_cfg,
+                name="roi_grid_pool")
+            pooled = vp(kp_xyz, kp_feats, kp_mask, new_xyz, grid_mask, train=train)
+        else:
+            # npoint must be non-None to take explicit new_xyz; value unused
+            sa = PointnetSAModuleMSG(
+                npoint=new_xyz.shape[1],
+                radii=[float(x) for x in pool_cfg["POOL_RADIUS"]],
+                nsamples=[int(x) for x in pool_cfg["NSAMPLE"]],
+                mlps=[list(m) for m in pool_cfg["MLPS"]],
+                use_xyz=True, name="roi_grid_pool")
+            _, pooled, _ = sa(kp_xyz, kp_feats, mask=kp_mask,
+                              new_xyz=new_xyz, train=train)
         pooled = pooled.reshape(b * r, g ** 3 * pooled.shape[-1])
 
         h = pooled

@@ -146,8 +146,8 @@ def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
         num_scalar_prefetch=1,
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # flat (B*N,) ids in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # flat (B*N, C) feats in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N,) ids in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N, C) feats in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, rw, c), lambda bi, ti, s: (bi, ti, 0), memory_space=pltpu.VMEM

@@ -163,19 +163,55 @@ class SyntheticV2XSource:
         scene, kf, lid = self.parse_lidar_token(lidar_token)
         return self._agent_pose(scene, lid, kf * KEYFRAME_DT)
 
+    # azimuth resolution of the occlusion model (bins over 2*pi)
+    OCCLUSION_BINS = 2048
+
     def _lidar_points_for_agent(self, scene, kf, lid, objs_global):
-        """Simulated LiDAR return: surface samples on visible objects + ground."""
+        """Simulated LiDAR return: surface samples on visible objects + ground.
+
+        Occlusion model (what makes collaboration non-trivial — without it a
+        single agent sees every box and saturates eval): objects are
+        processed nearest-first; each occupies an azimuth interval with the
+        elevation angle of its top edge, and a farther object only returns
+        points from the azimuth bins where its own top edge rises above the
+        accumulated occluder horizon (so a tall RSU sees over cars, while a
+        car behind a car is shadowed). Points scale with the visible
+        fraction; <15% visible yields no return.
+        """
         rng = _rng_for("pts", scene.seed, kf, lid)
         pose = self._agent_pose(scene, lid, kf * KEYFRAME_DT)
         inv_pose = se3_inverse(pose)
+        sensor = pose[:3, 3]
 
+        nbins = self.OCCLUSION_BINS
+        horizon = np.full(nbins, -np.inf)  # per-bin max occluder elevation
+
+        order = sorted(
+            range(len(objs_global)),
+            key=lambda i: np.linalg.norm((objs_global[i][0] - sensor)[:2]),
+        )
         pts = []
-        for pos, heading, dims, _name, _iid in objs_global:
-            rel = pos - pose[:3, 3]
+        for oi in order:
+            pos, heading, dims, _name, _iid = objs_global[oi]
+            rel = pos - sensor
             d = np.linalg.norm(rel[:2])
             if d > 70.0:
                 continue
-            n = int(np.clip(4000.0 / max(d, 2.0) ** 1.5, 8, 300))
+            theta = np.arctan2(rel[1], rel[0])
+            half_width = np.arctan2(max(dims[0], dims[1]) / 2, max(d, 1.0))
+            top_z = pos[2] + dims[2] / 2
+            elev = np.arctan2(top_z - sensor[2], max(d, 1.0))
+            b0 = int((theta - half_width + np.pi) / (2 * np.pi) * nbins)
+            b1 = int((theta + half_width + np.pi) / (2 * np.pi) * nbins)
+            bins = np.arange(b0, b1 + 1) % nbins
+            visible_frac = float(np.mean(elev > horizon[bins])) if len(bins) else 1.0
+            # the object itself becomes an occluder over its interval
+            horizon[bins] = np.maximum(horizon[bins], elev)
+            if visible_frac < 0.15:
+                continue
+            n = int(np.clip(4000.0 / max(d, 2.0) ** 1.5, 8, 300) * visible_frac)
+            if n < 4:
+                continue
             # sample on the box surface (sides + top), in box frame
             u = rng.uniform(-0.5, 0.5, size=(n, 3))
             face = rng.integers(0, 5, size=n)

@@ -1,0 +1,75 @@
+"""Synthetic-world occlusion: a nearer object shadows a farther one along the
+same azimuth; a differently-positioned agent still sees it — the signal that
+makes collaboration non-trivial."""
+import numpy as np
+
+from pcp_tpu.datasets.v2x_sim.source import SyntheticV2XSource
+
+
+def _points_near(points, pos, radius=3.0):
+    """Points near the box center at box height (excludes ground clutter)."""
+    d = np.linalg.norm(points[:, :2] - pos[None, :2], axis=1)
+    at_height = np.abs(points[:, 2] - pos[2]) < 1.5
+    return int((d < radius)[at_height].sum() if at_height.any() else 0)
+
+
+def test_nearer_object_shadows_farther():
+    src = SyntheticV2XSource(num_scenes=1, keyframes_per_scene=1)
+    scene = src.scenes[0]
+    pose = src._agent_pose(scene, 1, 0.0)
+    sensor = pose[:3, 3]
+    fwd = pose[:3, 0]  # agent +x axis in world
+
+    dims = np.array([4.5, 2.0, 1.7])
+    near_pos = sensor + fwd * 10.0
+    far_pos = sensor + fwd * 22.0
+    near_pos[2] = far_pos[2] = sensor[2] - 0.2
+    objs = [
+        (near_pos, 0.0, dims, "car", 0),
+        (far_pos, 0.0, dims, "car", 1),
+    ]
+    pts = src._lidar_points_for_agent(scene, 0, 1, objs)
+    world = (pose[:3, :3] @ pts[:, :3].T).T + sensor  # back to world frame
+    assert _points_near(world, near_pos) > 20
+    assert _points_near(world, far_pos) < 5  # shadowed
+
+    # an agent far off-axis sees both
+    side_sensor_pose = pose.copy()
+    side = np.cross([0, 0, 1.0], fwd)
+    side_sensor_pose[:3, 3] = sensor + side * 30.0
+
+    def points_from(p):
+        src2 = SyntheticV2XSource(num_scenes=1, keyframes_per_scene=1)
+        src2._agent_pose = lambda *a, **k: p
+        return src2._lidar_points_for_agent(scene, 0, 1, objs), p
+
+    pts2, p2 = points_from(side_sensor_pose)
+    world2 = (p2[:3, :3] @ pts2[:, :3].T).T + p2[:3, 3]
+    assert _points_near(world2, near_pos) > 8
+    assert _points_near(world2, far_pos) > 8
+
+
+def test_elevated_sensor_sees_over():
+    """An RSU-height sensor is not blocked by a car at ground level."""
+    src = SyntheticV2XSource(num_scenes=1, keyframes_per_scene=1)
+    scene = src.scenes[0]
+    pose = np.eye(4)
+    pose[:3, 3] = [0.0, 0.0, 6.0]  # high sensor
+    src._agent_pose = lambda *a, **k: pose
+    dims = np.array([4.5, 2.0, 1.7])
+    objs = [
+        (np.array([10.0, 0.0, -1.2]), 0.0, dims, "car", 0),
+        (np.array([22.0, 0.0, -1.2]), 0.0, dims, "car", 1),
+    ]
+    pts = src._lidar_points_for_agent(scene, 0, 1, objs)
+    world = pts[:, :3] + pose[:3, 3]  # identity rotation
+    assert _points_near(world, objs[1][0]) > 20
+
+
+def test_deterministic():
+    a = SyntheticV2XSource(num_scenes=2, keyframes_per_scene=2)
+    b = SyntheticV2XSource(num_scenes=2, keyframes_per_scene=2)
+    ta = a.lidar_token(a.scenes[0], 1, 1)
+    fa = a.get_frame(ta)
+    fb = b.get_frame(ta)
+    np.testing.assert_array_equal(fa["points"], fb["points"])

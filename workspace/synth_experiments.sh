@@ -16,7 +16,7 @@ if [ -n "$SMOKE" ]; then
   EPOCHS_CAR=2; EPOCHS_EGO=2; TAG=smoke; NPTS=16384
 else
   SYN="{'NUM_SCENES': 15, 'KEYFRAMES_PER_SCENE': 12, 'NUM_CARS': 24, 'NUM_PEDS': 8}"
-  EPOCHS_CAR=25; EPOCHS_EGO=30; TAG=synfull; NPTS=32768
+  EPOCHS_CAR=25; EPOCHS_EGO=30; TAG=${TAG_OVERRIDE:-synfull}; NPTS=32768
 fi
 
 COMMON_SET=(DATA_CONFIG.USE_SYNTHETIC_DATA True

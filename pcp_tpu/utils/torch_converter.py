@@ -123,8 +123,9 @@ def convert_centerpoint_state_dict(sd, model_cfg):
         _put_bn(params, stats, ("dense_head", "shared_norm"), sd, "dense_head.shared_conv.1")
 
     head_cfg = model_cfg["DENSE_HEAD"]
-    branches = list(head_cfg["SEPARATE_HEAD_CFG"]["HEAD_ORDER"]) + ["hm"]
-    n_heads = len(head_cfg["CLASS_NAMES_EACH_HEAD"])
+    branches = (list(head_cfg["SEPARATE_HEAD_CFG"]["HEAD_ORDER"]) + ["hm"]
+                if "SEPARATE_HEAD_CFG" in head_cfg else [])
+    n_heads = len(head_cfg.get("CLASS_NAMES_EACH_HEAD", [])) if branches else 0
     for h in range(n_heads):
         for name in branches:
             base = f"dense_head.heads_list.{h}.{name}"
@@ -147,6 +148,18 @@ def convert_centerpoint_state_dict(sd, model_cfg):
                 path = ("dense_head", f"head_{h}", f"{name}_out")
                 _set(params, path + ("kernel",), _t_conv(sd[fw]))
                 _set(params, path + ("bias",), sd[f"{base}.{num_conv - 1}.bias"])
+
+    # ---------------- anchor head (AnchorHeadSingle: 1x1 conv_cls/conv_box/
+    # conv_dir_cls -> our Dense layers of the same names)
+    for tname, ours in (("conv_cls", "conv_cls"), ("conv_box", "conv_box"),
+                        ("conv_dir_cls", "conv_dir_cls")):
+        tw = f"dense_head.{tname}.weight"
+        if tw in sd:
+            w = sd[tw]  # (out, in, 1, 1)
+            _set(params, ("dense_head", ours, "kernel"),
+                 w.reshape(w.shape[0], w.shape[1]).T)
+            if f"dense_head.{tname}.bias" in sd:
+                _set(params, ("dense_head", ours, "bias"), sd[f"dense_head.{tname}.bias"])
 
     # ---------------- corrector (HunterJr)
     if "corrector.conv_input.0.weight" in sd:

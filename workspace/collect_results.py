@@ -1,5 +1,7 @@
 """Collect the synthetic-world experiment results into one table.
 
+Usage: python workspace/collect_results.py [tag]   (default: synfull)
+
 Reads the newest eval log of every config/tag produced by
 workspace/synth_experiments.sh and prints a markdown table (mAP / NDS /
 recall@0.3) for the README results section.
@@ -10,13 +12,14 @@ import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
+TAG = sys.argv[1] if len(sys.argv) > 1 else "synfull"
 ROWS = [
-    ("single-agent ego (no collaboration)", "v2x_pointpillar_basic_ego", "synfull_nocollab"),
-    ("single-agent car detector", "v2x_pointpillar_basic_car", "synfull"),
-    ("early fusion (all agents' raw points)", "v2x_pointpillar_basic_ego_early", "synfull"),
-    ("late fusion over 5 trained agents", "v2x_late_fusion", "synfull"),
-    ("lately fusion (MoDAR, ours) — no BN recal", "v2x_pointpillar_basic_ego", "synfull#norecal"),
-    ("lately fusion (MoDAR, ours)", "v2x_pointpillar_basic_ego", "synfull"),
+    ("single-agent ego (no collaboration)", "v2x_pointpillar_basic_ego", TAG + "_nocollab"),
+    ("single-agent car detector", "v2x_pointpillar_basic_car", TAG),
+    ("early fusion (all agents' raw points)", "v2x_pointpillar_basic_ego_early", TAG),
+    ("late fusion over 5 trained agents", "v2x_late_fusion", TAG),
+    ("lately fusion (MoDAR, ours) — no BN recal", "v2x_pointpillar_basic_ego", TAG + "#norecal"),
+    ("lately fusion (MoDAR, ours)", "v2x_pointpillar_basic_ego", TAG),
 ]
 
 

@@ -152,13 +152,13 @@ class NuScenesDataset(DatasetTemplate):
         )
 
 
-def build_nuscenes_info(dataset_cfg, class_names, data_path, save_path, max_sweeps=10):
-    """Build info pkls from the raw nuScenes DB (requires nuscenes-devkit)."""
-    try:
-        from nuscenes import NuScenes  # noqa: F401
-    except ImportError as e:
-        raise ImportError("info building requires nuscenes-devkit") from e
-    raise NotImplementedError(
-        "raw nuScenes info building is pending a machine with the devkit + data; "
-        "runtime consumption of existing pcdet-format info pkls is supported"
-    )
+def build_nuscenes_info(dataset_cfg, class_names, data_path, save_path, max_sweeps=10,
+                        nusc=None, logger=None):
+    """Build info pkls from the raw nuScenes DB (reference create_nuscenes_info).
+    ``nusc`` may be a devkit NuScenes or a schema-faithful mock (tested against
+    one in tests/test_info_builders.py)."""
+    from .info_builder import create_nuscenes_infos
+
+    return create_nuscenes_infos(
+        dataset_cfg["VERSION"], data_path, save_path, max_sweeps=max_sweeps,
+        nusc=nusc, logger=logger)

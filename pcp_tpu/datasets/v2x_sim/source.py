@@ -47,13 +47,39 @@ class SceneSpec:
 
 
 class SyntheticV2XSource:
-    """Procedural multi-agent world. Deterministic per (data root, scene)."""
+    """Procedural multi-agent world. Deterministic per (data root, scene).
 
-    def __init__(self, num_scenes=4, keyframes_per_scene=12, num_cars=24, num_peds=8, seed=0):
+    Two world layouts:
+
+    * ``world='open'`` — objects and agents drift freely on an open plane.
+      Occlusion is only ever momentary (everything moves, nothing is large),
+      so a single agent with 11 pseudo-sweeps sees nearly every object and
+      collaborative modes cannot beat it (the round-2 finding).
+    * ``world='urban'`` — a Manhattan grid like the CARLA towns V2X-Sim is
+      rendered from: streets at +-40 m and 0 on both axes, city blocks filled
+      with tall buildings (persistent occluders no sweep horizon defeats),
+      moving traffic + parked cars + pedestrians constrained to the streets,
+      CAVs driving on streets and an elevated RSU at an intersection. An ego
+      on one street cannot see the parallel streets at all — only
+      collaborators (different streets / the RSU) cover them, which is what
+      makes collaboration *necessary*, reproducing the reference's
+      single-agent-is-the-floor table shape (ref README.md:50-54).
+    """
+
+    # street grid for world='urban' (centerlines, both axes)
+    STREETS = (-40.0, 0.0, 40.0)
+    HALF_ROAD = 8.0  # street half-width: road edge at centerline +- 8 m
+    BLOCK_CENTERS = (-60.0, -20.0, 20.0, 60.0)
+    GROUND_Z = -2.0
+
+    def __init__(self, num_scenes=4, keyframes_per_scene=12, num_cars=24, num_peds=8, seed=0,
+                 world="open", num_parked=0):
         self.num_scenes = num_scenes
         self.keyframes_per_scene = keyframes_per_scene
         self.num_cars = num_cars
         self.num_peds = num_peds
+        self.world = world
+        self.num_parked = num_parked
         self.seed = seed
         self.scenes: List[SceneSpec] = [
             SceneSpec(
@@ -67,9 +93,113 @@ class SyntheticV2XSource:
         self._scene_cache: Dict[str, dict] = {}
 
     # ------------------------------------------------------------- world gen
+    def _street_slot(self, rng):
+        """Random street pose: returns (axis, street, dir_sign).
+        axis 0 = travel along x on a horizontal street y=street; axis 1 =
+        travel along y on a vertical street x=street."""
+        axis = int(rng.integers(0, 2))
+        street = float(self.STREETS[int(rng.integers(0, len(self.STREETS)))])
+        d = float(rng.choice([-1.0, 1.0]))
+        return axis, street, d
+
+    def _on_street(self, axis, street, along, lateral):
+        """(x, y) for a position `along` the street with `lateral` offset."""
+        return (np.array([along, street + lateral]) if axis == 0
+                else np.array([street + lateral, along]))
+
+    def _street_heading(self, axis, d):
+        return 0.0 if (axis == 0 and d > 0) else (np.pi if axis == 0 else d * np.pi / 2)
+
+    def _scene_buildings(self, scene: SceneSpec):
+        """Static block-filling occluders for world='urban' (not GT)."""
+        if self.world != "urban":
+            return []
+        rng = _rng_for("bldg", scene.seed)
+        buildings = []
+        bid = 1 << 20  # instance ids far above object ids
+        for bx in self.BLOCK_CENTERS:
+            for by in self.BLOCK_CENTERS:
+                if rng.uniform() < 0.15:  # empty lot
+                    continue
+                h = rng.uniform(5.0, 9.0)
+                buildings.append(
+                    dict(
+                        instance_id=bid,
+                        name="building",
+                        dims=np.array([rng.uniform(17.0, 22.0), rng.uniform(17.0, 22.0), h]),
+                        pos0=np.array([bx + rng.uniform(-1, 1), by + rng.uniform(-1, 1),
+                                       self.GROUND_Z + h / 2]),
+                        heading0=0.0,
+                        vel=np.zeros(3),
+                        yaw_rate=0.0,
+                    )
+                )
+                bid += 1
+        return buildings
+
+    def _scene_objects_urban(self, scene: SceneSpec):
+        rng = _rng_for("objs", scene.seed)
+        objs = []
+        iid = 0
+        for _ in range(self.num_cars):
+            axis, street, d = self._street_slot(rng)
+            speed = rng.uniform(2.0, 10.0)
+            heading = self._street_heading(axis, d)
+            xy = self._on_street(axis, street, rng.uniform(-65, 65), -3.0 * d if axis == 0 else 3.0 * d)
+            objs.append(
+                dict(
+                    instance_id=iid,
+                    name="car",
+                    dims=np.array([rng.uniform(4.0, 5.0), rng.uniform(1.7, 2.1), rng.uniform(1.4, 1.9)]),
+                    pos0=np.array([xy[0], xy[1], rng.uniform(-1.6, -1.2)]),
+                    heading0=heading,
+                    vel=np.array([speed * np.cos(heading), speed * np.sin(heading), 0.0]),
+                    yaw_rate=0.0,
+                )
+            )
+            iid += 1
+        for _ in range(self.num_parked):
+            axis, street, d = self._street_slot(rng)
+            heading = self._street_heading(axis, d)
+            xy = self._on_street(axis, street, rng.uniform(-65, 65), 6.3 * d)
+            objs.append(
+                dict(
+                    instance_id=iid,
+                    name="car",
+                    dims=np.array([rng.uniform(4.0, 5.0), rng.uniform(1.7, 2.1), rng.uniform(1.4, 1.9)]),
+                    pos0=np.array([xy[0], xy[1], rng.uniform(-1.6, -1.2)]),
+                    heading0=heading,
+                    vel=np.zeros(3),
+                    yaw_rate=0.0,
+                )
+            )
+            iid += 1
+        for _ in range(self.num_peds):
+            axis, street, d = self._street_slot(rng)
+            speed = rng.uniform(0.0, 1.5)
+            heading = self._street_heading(axis, d)
+            xy = self._on_street(axis, street, rng.uniform(-60, 60), 7.3 * d)
+            objs.append(
+                dict(
+                    instance_id=iid,
+                    name="pedestrian",
+                    dims=np.array([0.7, 0.7, rng.uniform(1.6, 1.9)]),
+                    pos0=np.array([xy[0], xy[1], rng.uniform(-1.2, -0.8)]),
+                    heading0=heading,
+                    vel=np.array([speed * np.cos(heading), speed * np.sin(heading), 0.0]),
+                    yaw_rate=0.0,
+                )
+            )
+            iid += 1
+        return objs
+
     def _scene_objects(self, scene: SceneSpec):
         if scene.token in self._scene_cache:
             return self._scene_cache[scene.token]
+        if self.world == "urban":
+            objs = self._scene_objects_urban(scene) + self._scene_buildings(scene)
+            self._scene_cache[scene.token] = objs
+            return objs
         rng = _rng_for("objs", scene.seed)
         objs = []
         for i in range(self.num_cars):
@@ -114,6 +244,19 @@ class SyntheticV2XSource:
     def _agent_pose(self, scene: SceneSpec, lidar_id: int, t: float):
         """Global 4x4 pose of an agent's lidar at time t."""
         rng = _rng_for("agent", scene.seed, lidar_id)
+        if self.world == "urban":
+            if lidar_id == 0:  # RSU: static, elevated, at an intersection
+                sx = float(self.STREETS[int(rng.integers(0, len(self.STREETS)))])
+                sy = float(self.STREETS[int(rng.integers(0, len(self.STREETS)))])
+                pos = np.array([sx + rng.uniform(-2, 2), sy + rng.uniform(-2, 2), 3.5])
+                return make_se3(pos, yaw=rng.uniform(-np.pi, np.pi))
+            axis, street, d = self._street_slot(rng)
+            yaw = self._street_heading(axis, d)
+            xy = self._on_street(axis, street, rng.uniform(-45, 45),
+                                 -3.0 * d if axis == 0 else 3.0 * d)
+            speed = rng.uniform(3.0, 9.0)
+            vel = np.array([speed * np.cos(yaw), speed * np.sin(yaw), 0.0])
+            return make_se3(np.array([xy[0], xy[1], 1.8]) + vel * t, yaw=yaw)
         if lidar_id == 0:  # RSU: static, elevated
             pos = np.array([rng.uniform(-15, 15), rng.uniform(-15, 15), 3.0])
             yaw = rng.uniform(-np.pi, np.pi)
@@ -183,8 +326,28 @@ class SyntheticV2XSource:
         inv_pose = se3_inverse(pose)
         sensor = pose[:3, 3]
 
+        # sensing range: urban street-level agents model a car-grade LiDAR
+        # (dense returns out to ~48 m); the elevated RSU keeps the long range.
+        # Limited per-agent range + persistent building occlusion are the two
+        # mechanisms that make collaboration necessary (ref README.md:50-54).
+        if self.world == "urban" and lid != 0:
+            max_range = 48.0
+        else:
+            max_range = 70.0
+
         nbins = self.OCCLUSION_BINS
         horizon = np.full(nbins, -np.inf)  # per-bin max occluder elevation
+        # Ground-shadow raster (azimuth x range). Every occluder shadows the
+        # ground behind it: from its own distance out to where rays grazing
+        # its top edge re-hit the ground (infinity when the top is above the
+        # sensor, e.g. buildings). Without this the ground disk leaks points
+        # into occluded areas and every "hidden" box still collects ground
+        # returns (boxes wrap down to the road surface), defeating the
+        # >=1-point GT visibility test.
+        n_rbins = 64
+        r_max_grid = 70.0
+        ground_shadow = np.zeros((nbins, n_rbins), dtype=bool)
+        ground_z = self.GROUND_Z
 
         order = sorted(
             range(len(objs_global)),
@@ -195,7 +358,7 @@ class SyntheticV2XSource:
             pos, heading, dims, _name, _iid = objs_global[oi]
             rel = pos - sensor
             d = np.linalg.norm(rel[:2])
-            if d > 70.0:
+            if d > max_range:
                 continue
             theta = np.arctan2(rel[1], rel[0])
             half_width = np.arctan2(max(dims[0], dims[1]) / 2, max(d, 1.0))
@@ -207,6 +370,16 @@ class SyntheticV2XSource:
             visible_frac = float(np.mean(elev > horizon[bins])) if len(bins) else 1.0
             # the object itself becomes an occluder over its interval
             horizon[bins] = np.maximum(horizon[bins], elev)
+            if len(bins) and visible_frac > 0.0:
+                if top_z >= sensor[2]:
+                    r_end = r_max_grid
+                else:
+                    # ray over the top edge re-hits the ground at r_end
+                    r_end = d * (sensor[2] - ground_z) / max(sensor[2] - top_z, 1e-3)
+                i0 = int(d / r_max_grid * n_rbins)
+                i1 = min(int(np.ceil(r_end / r_max_grid * n_rbins)), n_rbins)
+                if i1 > i0:
+                    ground_shadow[np.ix_(bins, range(i0, i1))] = True
             if visible_frac < 0.15:
                 continue
             n = int(np.clip(4000.0 / max(d, 2.0) ** 1.5, 8, 300) * visible_frac)
@@ -232,15 +405,20 @@ class SyntheticV2XSource:
             )
             pts.append(world)
 
-        # ground plane + clutter around the agent
+        # ground plane + clutter around the agent (rays blocked by full
+        # occluders return nothing beyond them)
         n_ground = 4096
-        r = np.sqrt(rng.uniform(4.0, 55.0**2, size=n_ground))
+        r = np.sqrt(rng.uniform(4.0, min(55.0, max_range + 7.0) ** 2, size=n_ground))
         th = rng.uniform(-np.pi, np.pi, size=n_ground)
+        gbins = ((th + np.pi) / (2 * np.pi) * nbins).astype(int) % nbins
+        grbins = np.clip((r / r_max_grid * n_rbins).astype(int), 0, n_rbins - 1)
+        keep_g = ~ground_shadow[gbins, grbins]
+        r, th = r[keep_g], th[keep_g]
         ground = np.stack(
             [
                 pose[0, 3] + r * np.cos(th),
                 pose[1, 3] + r * np.sin(th),
-                rng.normal(-2.0, 0.05, size=n_ground),
+                rng.normal(-2.0, 0.05, size=r.shape[0]),
             ],
             axis=1,
         )
@@ -333,7 +511,12 @@ class NuScenesV2XSource:
     """Real V2X-Sim 2.0 through nuscenes-devkit. Provides the same interface
     as SyntheticV2XSource; requires the devkit + dataset on disk."""
 
-    def __init__(self, dataroot, version):
+    def __init__(self, dataroot, version, nusc=None):
+        if nusc is not None:
+            # injected devkit object or schema-faithful mock (duck-typed:
+            # .sample/.scene lists, .get(table, token), .get_sample_data_path)
+            self.nusc = nusc
+            return
         try:
             from nuscenes import NuScenes  # type: ignore
         except ImportError as e:

@@ -46,6 +46,9 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None, logger=None, source=None):
         super().__init__(dataset_cfg, class_names, training, root_path, logger, source)
         self.exchange_now = bool(dataset_cfg.get("EXCHANGE_NOW", False))
+        # async-compensation ablation: with False, stale MoDAR boxes are used
+        # as-is (no constant-velocity advance from the exchanged scene flow)
+        self.flow_propagation = bool(dataset_cfg.get("EXCHANGE_FLOW_PROPAGATION", True))
         exch_dir = dataset_cfg.get("EXCHANGE_DATABASE_DIRECTORY", "exchange_database_flow")
         self.exchange_database = {
             lid: ExchangeDatabase(self.root_path / exch_dir) for lid in range(NUM_AGENTS)
@@ -183,7 +186,7 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
                 if lidar_id == EGO_LIDAR_ID or lidar_id not in self._exchange_agent_ids():
                     continue
                 modar = self._load_and_propagate_modar(
-                    exch_token, lidar_id, propagate=use_prev
+                    exch_token, lidar_id, propagate=use_prev and self.flow_propagation
                 )
                 if modar is None or modar.shape[0] == 0:
                     continue

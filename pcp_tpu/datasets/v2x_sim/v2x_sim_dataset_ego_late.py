@@ -52,7 +52,8 @@ class V2XSimDataset_EGO_LATE(V2XSimDataset_EGO):
                 if lidar_id == EGO_LIDAR_ID:
                     continue
                 modar = self._load_and_propagate_modar(
-                    exch_token, lidar_id, propagate=(setting == "prev")
+                    exch_token, lidar_id,
+                    propagate=(setting == "prev") and self.flow_propagation,
                 )
                 if modar is None:
                     modar = np.zeros((0, 9))

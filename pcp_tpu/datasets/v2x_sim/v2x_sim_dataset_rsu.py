@@ -58,6 +58,8 @@ class V2XSimDataset_RSU(DatasetTemplate):
                 num_cars=int(syn.get("NUM_CARS", 24)),
                 num_peds=int(syn.get("NUM_PEDS", 8)),
                 seed=int(syn.get("SEED", 0)),
+                world=str(syn.get("WORLD", "open")),
+                num_parked=int(syn.get("NUM_PARKED", 0)),
             )
             if logger is not None:
                 logger.info("V2X-Sim data not found -> synthetic V2X world active")
@@ -91,6 +93,20 @@ class V2XSimDataset_RSU(DatasetTemplate):
                 )
         return infos
 
+    def _filter_sem(self, infos):
+        """Drop semantic-lidar channels (reference rsu :64-67, car :33-35)."""
+        if not hasattr(self.source, "nusc"):
+            return infos
+        kept = []
+        for info in infos:
+            try:
+                ch = self.source.nusc.get("sample_data", info["lidar_token"]).get("channel", "")
+            except (KeyError, AttributeError):
+                ch = ""
+            if "SEM" not in ch:
+                kept.append(info)
+        return kept
+
     def include_v2x_sim_data(self, mode):
         split = self.dataset_cfg["DATA_SPLIT"][mode]
         if self.synthetic:
@@ -102,11 +118,94 @@ class V2XSimDataset_RSU(DatasetTemplate):
                     continue
                 with open(p, "rb") as f:
                     self.infos.extend(pickle.load(f))
+            self.infos = self._filter_sem(self.infos)
         self.infos.sort(key=lambda e: e["timestamp"])
         if self.training and int(self.dataset_cfg.get("MINI_TRAINVAL_STRIDE", 1)) > 1:
             self.infos = self.infos[:: int(self.dataset_cfg["MINI_TRAINVAL_STRIDE"])]
         if self.logger is not None:
             self.logger.info("Total samples for V2X-Sim dataset: %d" % len(self.infos))
+
+    # ------------------------------------------------- raw-DB info building
+    def _build_train_val_split(self):
+        """Town-location scene split persisted to pkl (reference
+        v2x_sim_dataset_rsu.py:77-108: towns 4,5 train / town 3 val; mini
+        versions collapse to a single split for plumbing tests)."""
+        nusc = self.source.nusc
+        train_scenes, val_scenes = [], []
+        for scene in nusc.scene:
+            log = nusc.get("log", scene["log_token"])
+            if log["location"] in (4, 5, "4", "5"):
+                train_scenes.append(scene["token"])
+            else:
+                val_scenes.append(scene["token"])
+        if "mini" not in self.dataset_cfg["VERSION"]:
+            trainval = {"train": set(train_scenes), "val": val_scenes}
+        else:
+            toks = train_scenes if train_scenes else val_scenes
+            trainval = {"train": set(toks), "val": toks}
+        path = self.root_path / f"{self._prefix}_trainval_split.pkl"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(trainval, f)
+        return trainval
+
+    def _load_trainval_split(self):
+        path = self.root_path / f"{self._prefix}_trainval_split.pkl"
+        if not path.exists():
+            return self._build_train_val_split()
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def _info_of_lidar_token(self, sample, lidar_token, threshold_boxes_by_points):
+        """One info row (reference rsu :124-147 / car :85-109), built through
+        the source abstraction (frame accessors match the reference
+        get_points_and_boxes_of_1lidar)."""
+        nusc = self.source.nusc
+        frame = self.source.get_frame(
+            lidar_token,
+            classes_of_interest=tuple(self.classes_of_interest),
+            threshold_boxes_by_points=threshold_boxes_by_points,
+        )
+        sd = nusc.get("sample_data", lidar_token)
+        return {
+            "token": sample["token"],
+            "lidar_token": lidar_token,
+            "glob_se3_lidar": frame["glob_se3_lidar"],
+            "gt_boxes": frame["boxes"],
+            "gt_names": frame["names"],
+            "num_points_in_boxes": frame["num_points_in_boxes"],
+            "lidar_path": nusc.get_sample_data_path(lidar_token),
+            "timestamp": sd["timestamp"],
+        }
+
+    def build_v2x_sim_info(self):
+        """Write {prefix}_v2x_sim_infos_{N}sweeps_{train,val}.pkl (reference
+        v2x_sim_dataset_rsu.py:110-164). Requires a real/mocked devkit."""
+        assert not self.synthetic, "info building needs a (possibly mocked) V2X-Sim DB"
+        trainval = self._load_trainval_split()
+        nusc = self.source.nusc
+        lidar_name = "LIDAR_TOP_id_0"
+        train_infos, val_infos = [], []
+        for sample in nusc.sample:
+            if lidar_name not in sample["data"]:
+                continue
+            info = self._info_of_lidar_token(
+                sample, sample["data"][lidar_name],
+                self.dataset_cfg.get("THRESHOLD_BOXES_BY_POINTS", 5))
+            if sample["scene_token"] in trainval["train"]:
+                train_infos.append(info)
+            else:
+                val_infos.append(info)
+        for split, infos in (("train", train_infos), ("val", val_infos)):
+            if not infos:
+                continue
+            p = self.root_path / (
+                f"{self._prefix}_v2x_sim_infos_{self.num_historical_sweeps}sweeps_{split}.pkl")
+            with open(p, "wb") as f:
+                pickle.dump(infos, f)
+            if self.logger is not None:
+                self.logger.info(f"v2x-sim infos {split}: {len(infos)} -> {p}")
+        return train_infos, val_infos
 
     def __len__(self):
         if self._merge_all_iters_to_one_epoch:

@@ -85,11 +85,12 @@ class PointRCNNHead(RoIHeadTemplate):
             l_xyz, l_feat, l_mask = sa(l_xyz, l_feat, mask=l_mask, train=train)
 
         shared = l_feat[:, 0]  # (B*R, C) after GroupAll
-        rcnn_cls = self.fc_stack(shared, self.model_cfg["CLS_FC"], train=train,
-                                 prefix="cls_fc")
+        dp = float(self.model_cfg.get("DP_RATIO", 0.0))
+        rcnn_cls = self.fc_stack(shared, self.model_cfg["CLS_FC"], dp_ratio=dp,
+                                 train=train, prefix="cls_fc")
         rcnn_cls = nn.Dense(self.num_class, name="cls_out")(rcnn_cls)
-        rcnn_reg = self.fc_stack(shared, self.model_cfg["REG_FC"], train=train,
-                                 prefix="reg_fc")
+        rcnn_reg = self.fc_stack(shared, self.model_cfg["REG_FC"], dp_ratio=dp,
+                                 train=train, prefix="reg_fc")
         rcnn_reg = nn.Dense(self.box_coder.code_size * self.num_class,
                             name="reg_out")(rcnn_reg)
         rcnn_cls = rcnn_cls.reshape(b, r, -1)

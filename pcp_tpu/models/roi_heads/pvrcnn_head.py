@@ -93,11 +93,15 @@ class PVRCNNHead(RoIHeadTemplate):
         pooled = pooled.reshape(b * r, g ** 3 * pooled.shape[-1])
 
         h = pooled
+        dp = float(self.model_cfg.get("DP_RATIO", 0.0))
         for i, c in enumerate(self.model_cfg["SHARED_FC"]):
-            h = self.fc_stack(h, [c], train=train, prefix=f"shared_fc_{i}")
-        rcnn_cls = self.fc_stack(h, self.model_cfg["CLS_FC"], train=train, prefix="cls_fc")
+            h = self.fc_stack(h, [c], dp_ratio=dp if i == 0 else 0.0,
+                              train=train, prefix=f"shared_fc_{i}")
+        rcnn_cls = self.fc_stack(h, self.model_cfg["CLS_FC"], dp_ratio=dp,
+                                 train=train, prefix="cls_fc")
         rcnn_cls = nn.Dense(self.num_class, name="cls_out")(rcnn_cls)
-        rcnn_reg = self.fc_stack(h, self.model_cfg["REG_FC"], train=train, prefix="reg_fc")
+        rcnn_reg = self.fc_stack(h, self.model_cfg["REG_FC"], dp_ratio=dp,
+                                 train=train, prefix="reg_fc")
         rcnn_reg = nn.Dense(self.box_coder.code_size * self.num_class,
                             name="reg_out")(rcnn_reg)
         rcnn_cls = rcnn_cls.reshape(b, r, -1)

@@ -242,13 +242,17 @@ class RoIHeadTemplate(nn.Module):
                                 target_cfg.get("BOX_CODER_CONFIG", {}).items()})
 
     def fc_stack(self, x, fc_list, dp_ratio=0.0, train=False, prefix="fc"):
-        """[Dense(no bias) + BN + ReLU] per entry (reference make_fc_layers :29-44).
-        Dropout is omitted under functional eval; dp_ratio kept for config parity."""
+        """[Dense(no bias) + BN + ReLU (+ Dropout)] per entry (reference
+        make_fc_layers :29-44; Dropout inserted after the first layer's ReLU
+        when DP_RATIO > 0, active only in training)."""
         for i, c in enumerate(fc_list):
             x = nn.Dense(int(c), use_bias=False, name=f"{prefix}_{i}")(x)
             x = MaskedBatchNorm(momentum=0.1, epsilon=1e-5, name=f"{prefix}_bn_{i}")(
                 x, use_running_average=not train)
             x = nn.relu(x)
+            if dp_ratio > 0 and i == 0:
+                x = nn.Dropout(rate=float(dp_ratio), deterministic=not train,
+                               name=f"{prefix}_dp_{i}")(x)
         return x
 
     def get_box_cls_layer_loss(self, fwd):
@@ -317,8 +321,10 @@ class RoIHeadTemplate(nn.Module):
         code_size = coder.code_size
         roi_ry = rois[..., 6]
         roi_xyz = rois[..., 0:3]
+        # Reference (:276) only zeroes xyz, keeping the ROI yaw, so the decoded
+        # heading is rt + roi_ry; zeroing it too emits canonical-frame headings.
         local_rois = jnp.concatenate(
-            [jnp.zeros_like(roi_xyz), rois[..., 3:6], jnp.zeros_like(rois[..., 6:7])],
+            [jnp.zeros_like(roi_xyz), rois[..., 3:6], rois[..., 6:7]],
             axis=-1)
         decoded = coder.decode(box_preds, local_rois)
         b, m = rois.shape[:2]

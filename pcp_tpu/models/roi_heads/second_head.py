@@ -87,9 +87,12 @@ class SECONDHead(RoIHeadTemplate):
         pooled = pooled.reshape(b * r, g * g * feat.shape[-1])
 
         h = pooled
+        dp = float(self.model_cfg.get("DP_RATIO", 0.0))
         for i, c in enumerate(self.model_cfg["SHARED_FC"]):
-            h = self.fc_stack(h, [c], train=train, prefix=f"shared_fc_{i}")
-        rcnn_iou = self.fc_stack(h, self.model_cfg["IOU_FC"], train=train, prefix="iou_fc")
+            h = self.fc_stack(h, [c], dp_ratio=dp if i == 0 else 0.0,
+                              train=train, prefix=f"shared_fc_{i}")
+        rcnn_iou = self.fc_stack(h, self.model_cfg["IOU_FC"], dp_ratio=dp,
+                                 train=train, prefix="iou_fc")
         rcnn_iou = nn.Dense(1, name="iou_out")(rcnn_iou).reshape(b, r)
 
         if train:

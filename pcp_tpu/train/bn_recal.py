@@ -43,7 +43,8 @@ def recalibrate_batch_stats(model, params, batch_stats, loader, to_device,
         _, upd = model.apply(
             {"params": params, "batch_stats": bs}, batch,
             train=True, mutable=["batch_stats"],
-            rngs={"sampling": jax.random.PRNGKey(0)},
+            rngs={"sampling": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)},
         )
         return upd["batch_stats"]
 

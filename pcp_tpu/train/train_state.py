@@ -19,6 +19,11 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: Any
+    # base key for per-step stochastic streams (ROI subsampling, dropout);
+    # derived from the run seed so seed sweeps vary the sampling randomness.
+    # Not checkpointed: resume recreates it from the same run seed and
+    # fold_in(step) reproduces the per-step stream.
+    rng: Any = None
 
 
 def create_train_state(model, tx, rng, example_batch):
@@ -30,14 +35,19 @@ def create_train_state(model, tx, rng, example_batch):
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         step=0,
+        rng=jax.random.fold_in(rng, 0x5A3D),  # decouple from the init stream
     )
 
 
 def make_train_step(model, tx, donate=True):
     def train_step(state, batch):
-        # per-step PRNG for stochastic modules (ROI target subsampling);
-        # folded from the step counter so resume reproduces the stream
-        rngs = {"sampling": jax.random.fold_in(jax.random.PRNGKey(20260816), state.step)}
+        # per-step PRNG for stochastic modules (ROI target subsampling,
+        # dropout); folded from the step counter so resume reproduces the
+        # stream while distinct run seeds give distinct streams
+        base = state.rng if state.rng is not None else jax.random.PRNGKey(0)
+        step_key = jax.random.fold_in(base, state.step)
+        rngs = {"sampling": step_key,
+                "dropout": jax.random.fold_in(step_key, 1)}
 
         def loss_fn(params):
             out, updates = model.apply(

@@ -112,7 +112,12 @@ def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=Non
 
 def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=None,
                 mesh=None, max_ckpt_save_num=30, start_epoch=0, tb_writer=None,
-                profile_dir=None, ckpt_save_time_interval=300):
+                profile_dir=None, ckpt_save_time_interval=300, precise_bn_batches=0):
+    """precise_bn_batches > 0 bakes dataset-average BN statistics (SWA-style
+    update_bn) into every saved checkpoint: the small-dataset BN-EMA drift
+    that previously required ``tools/test.py --bn_recal`` is fixed at the
+    source — running stats never affect the train-mode forward, so replacing
+    them is free for optimization and only improves eval."""
     step_fn = make_train_step(model, tx)
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
@@ -128,6 +133,15 @@ def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=N
             ckpt_save_dir=ckpt_dir, ckpt_save_time_interval=ckpt_save_time_interval,
             snapshot_tracker=snapshot_tracker,
         )
+        if precise_bn_batches > 0:
+            from .bn_recal import recalibrate_batch_stats
+
+            new_bs = recalibrate_batch_stats(
+                model, state.params, state.batch_stats, train_loader,
+                lambda b: _to_device_batch(b, mesh),
+                max_batches=precise_bn_batches, logger=logger,
+            )
+            state = state.replace(batch_stats=new_bs)
         save_checkpoint(
             state, ckpt_dir, epoch + 1, int(state.step),
             max_ckpt_save_num=max_ckpt_save_num, logger=logger,

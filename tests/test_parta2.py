@@ -176,7 +176,8 @@ class TestPartA2E2E:
         batch = {"points": jnp.asarray(pts), "points_mask": jnp.ones((b, n), bool),
                  "gt_boxes": jnp.asarray(gt), "batch_size": b}
         variables = model.init(
-            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
             batch, train=True)
         out = model.apply(variables, batch, train=False)
         boxes = out["final_box_dicts"]["pred_boxes"]
@@ -188,7 +189,7 @@ class TestPartA2E2E:
             o, _ = model.apply(
                 {"params": p, "batch_stats": variables.get("batch_stats", {})},
                 batch, train=True, mutable=["batch_stats"],
-                rngs={"sampling": jax.random.PRNGKey(1)})
+                rngs={"sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)})
             return o["loss"], o["tb_dict"]
 
         (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])

@@ -208,14 +208,15 @@ class TestPointRCNNE2E:
     def test_train_loss_and_grads(self, tiny_pointrcnn):
         model, batch = tiny_pointrcnn
         variables = model.init(
-            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(7)},
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(7),
+             "dropout": jax.random.PRNGKey(4)},
             batch, train=True)
 
         def loss_fn(params):
             out, _ = model.apply(
                 {"params": params, "batch_stats": variables.get("batch_stats", {})},
                 batch, train=True, mutable=["batch_stats"],
-                rngs={"sampling": jax.random.PRNGKey(7)})
+                rngs={"sampling": jax.random.PRNGKey(7), "dropout": jax.random.PRNGKey(4)})
             return out["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(variables["params"])

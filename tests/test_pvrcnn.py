@@ -146,14 +146,15 @@ class TestPVRCNNE2E:
     def test_train_loss_and_grads(self, tiny_pvrcnn):
         model, batch = tiny_pvrcnn
         variables = model.init(
-            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(3)},
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(3),
+             "dropout": jax.random.PRNGKey(4)},
             batch, train=True)
 
         def loss_fn(params):
             out, _ = model.apply(
                 {"params": params, "batch_stats": variables.get("batch_stats", {})},
                 batch, train=True, mutable=["batch_stats"],
-                rngs={"sampling": jax.random.PRNGKey(3)})
+                rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)})
             return out["loss"], out["tb_dict"]
 
         (loss, tb), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])

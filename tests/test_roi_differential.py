@@ -107,3 +107,46 @@ class TestCanonicalTransform:
             np.testing.assert_allclose(gt_ct[i, :3], local, atol=1e-4)
             np.testing.assert_allclose(gt_ct[i, 3:6], ref[3:6], atol=1e-5)
             np.testing.assert_allclose(gt_ct[i, 6], heading, atol=1e-4)
+
+
+class TestGeneratePredictedBoxes:
+    def test_matches_reference_decode(self):
+        """RoIHeadTemplate.generate_predicted_boxes vs a numpy port of the
+        reference (pcdet roi_head_template.py:262-285): local_rois keeps the
+        ROI yaw (only xyz zeroed), so the decoded heading is rt + roi_ry."""
+        from pcp_tpu.models.roi_heads.roi_head_template import RoIHeadTemplate
+
+        rng = np.random.default_rng(7)
+        b, m = 2, 6
+        rois = rng.uniform(-10, 10, (b, m, 7)).astype(np.float32)
+        rois[..., 3:6] = rng.uniform(1, 4, (b, m, 3))
+        rois[..., 6] = rng.uniform(-np.pi, np.pi, (b, m))
+        box_preds = (rng.normal(size=(b, m, 7)) * 0.2).astype(np.float32)
+        cls_preds = rng.normal(size=(b, m, 1)).astype(np.float32)
+
+        head = RoIHeadTemplate(
+            model_cfg={"TARGET_CONFIG": {"BOX_CODER": "ResidualCoder"}},
+            num_class=1)
+        _, got = head.generate_predicted_boxes(
+            jnp.asarray(rois), jnp.asarray(cls_preds), jnp.asarray(box_preds))
+        got = np.asarray(got)
+
+        # numpy port of decode_torch + rotate_points_along_z + xyz shift
+        xt, yt, zt, dxt, dyt, dzt, rt = np.split(box_preds, 7, axis=-1)
+        xa = np.zeros_like(xt); ya = np.zeros_like(yt); za = np.zeros_like(zt)
+        dxa, dya, dza = (rois[..., 3:4], rois[..., 4:5], rois[..., 5:6])
+        ra = rois[..., 6:7]
+        diag = np.sqrt(dxa ** 2 + dya ** 2)
+        xg = xt * diag + xa; yg = yt * diag + ya; zg = zt * dza + za
+        dxg = np.exp(dxt) * dxa; dyg = np.exp(dyt) * dya; dzg = np.exp(dzt) * dza
+        rg = rt + ra
+        dec = np.concatenate([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+        ry = rois[..., 6]
+        c, s = np.cos(ry), np.sin(ry)
+        xr = dec[..., 0] * c - dec[..., 1] * s
+        yr = dec[..., 0] * s + dec[..., 1] * c
+        expected = dec.copy()
+        expected[..., 0] = xr + rois[..., 0]
+        expected[..., 1] = yr + rois[..., 1]
+        expected[..., 2] = dec[..., 2] + rois[..., 2]
+        np.testing.assert_allclose(got, expected, atol=1e-4)

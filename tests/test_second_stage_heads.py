@@ -85,7 +85,8 @@ def _run_both_modes(cfg_dict, expected_post=16):
     info, batch = _info_and_batch()
     model = build_network(CfgDict(cfg_dict), num_class=1, dataset_info=info)
     variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
         batch, train=True)
     out = model.apply(variables, batch, train=False)
     boxes = out["final_box_dicts"]["pred_boxes"]
@@ -95,7 +96,7 @@ def _run_both_modes(cfg_dict, expected_post=16):
     def loss_fn(p):
         o, _ = model.apply({"params": p, "batch_stats": variables.get("batch_stats", {})},
                            batch, train=True, mutable=["batch_stats"],
-                           rngs={"sampling": jax.random.PRNGKey(1)})
+                           rngs={"sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)})
         return o["loss"]
 
     loss, grads = jax.value_and_grad(loss_fn)(variables["params"])

@@ -40,6 +40,9 @@ def parse_config(argv=None):
                         help="evaluate every (new) checkpoint in --ckpt_dir")
     parser.add_argument("--max_waiting_mins", type=int, default=30)
     parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--eval_tag", type=str, default="default",
+                        help="subdirectory under eval/ for this evaluation run "
+                             "(reference test.py surface)")
     parser.add_argument("--infer_time", action="store_true", default=False)
     parser.add_argument("--bn_recal", type=int, default=0, metavar="N",
                         help="recalibrate BN running stats over N train batches "
@@ -182,6 +185,8 @@ def main():
 
     output_dir = cfg_.ROOT_DIR / "output" / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
     eval_dir = output_dir / "eval"
+    if args.eval_tag and args.eval_tag != "default":
+        eval_dir = eval_dir / args.eval_tag
     eval_dir.mkdir(parents=True, exist_ok=True)
     log_file = eval_dir / ("log_eval_%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S"))
     logger = create_logger(log_file)

@@ -38,6 +38,9 @@ def parse_config():
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--ckpt_save_time_interval", type=int, default=300,
                         help="seconds between overwriting 'latest_model' snapshots")
+    parser.add_argument("--precise_bn", type=int, default=30,
+                        help="bake dataset-average BN stats (SWA update_bn) into each "
+                             "checkpoint, averaging over N train batches (0 = off)")
     parser.add_argument("--num_epochs_to_eval", type=int, default=15,
                         help="auto-eval the last N epoch checkpoints after training (0 = off)")
     parser.add_argument("--max_waiting_mins", type=int, default=0)
@@ -70,6 +73,7 @@ def main():
     logger.info("**********************Start logging**********************")
     logger.info(f"devices: {jax.devices()}")
     log_config_to_file(cfg_, logger=logger)
+    seed = 666 if args.fix_random_seed else 0
     if args.fix_random_seed:
         set_random_seed(666)
 
@@ -89,9 +93,32 @@ def main():
     tx, lr_fn = build_optimizer(cfg_.OPTIMIZATION, len(train_loader), epochs)
 
     example = next(iter(train_loader))
-    state = create_train_state(model, tx, jax.random.PRNGKey(0), _to_device_batch(example))
+    state = create_train_state(model, tx, jax.random.PRNGKey(seed), _to_device_batch(example))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
     logger.info(f"model parameters: {n_params}")
+
+    # frozen BEVMaker sub-nets load their own single-agent checkpoints at
+    # build time (reference bev_maker.py:30-34); CKPT paths resolve like the
+    # reference's (relative to tools/, i.e. the repo root after stripping ../)
+    for maker_key in ("BEV_MAKER_RSU", "BEV_MAKER_CAR", "BEV_MAKER_EARLY"):
+        mk_cfg = cfg_.MODEL.get(maker_key)
+        if mk_cfg is None or not mk_cfg.get("CKPT"):
+            continue
+        from pcp_tpu.train.checkpoint import overlay_bev_maker_weights
+
+        ckpt_path = Path(str(mk_cfg["CKPT"]))
+        if not ckpt_path.exists():
+            stripped = str(mk_cfg["CKPT"])
+            while stripped.startswith("../") or stripped.startswith("./"):
+                stripped = stripped.split("/", 1)[1]
+            ckpt_path = cfg_.ROOT_DIR / stripped
+        if not ckpt_path.exists():
+            logger.warning(f"{maker_key}.CKPT not found: {mk_cfg['CKPT']} — maker stays random")
+            continue
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = overlay_bev_maker_weights(
+            variables, maker_key.lower(), ckpt_path, logger=logger)
+        state = state.replace(params=variables["params"], batch_stats=variables["batch_stats"])
 
     start_epoch = 0
     resume_from = args.ckpt or latest_checkpoint(ckpt_dir)
@@ -113,6 +140,7 @@ def main():
         max_ckpt_save_num=args.max_ckpt_save_num, start_epoch=start_epoch,
         profile_dir=(output_dir / "profile") if args.profile else None,
         tb_writer=tb_writer, ckpt_save_time_interval=args.ckpt_save_time_interval,
+        precise_bn_batches=args.precise_bn,
     )
     logger.info("**********************Training done**********************")
 

@@ -1,8 +1,11 @@
 #!/bin/bash
-# Full synthetic-world experiment pipeline: trains every agent model, builds
-# the exchange database, trains the collaborative ego variants, and evaluates
-# all five fusion modes — reproducing the reference README experiment matrix
-# (/root/reference/README.md:44-54) on the procedural world.
+# Full synthetic-world experiment pipeline reproducing the reference README
+# matrix (/root/reference/README.md:44-54) — now on the *urban* world
+# (Manhattan blocks + limited per-agent sensing range, source.py), where
+# collaboration is necessary: the single-agent ego structurally cannot see
+# parallel streets. Produces sync AND async columns for late/early/lately
+# (+ mid fusion DiscoNet), plus the flow-propagation ablation for the async
+# rows — the full shape of the reference results table.
 #
 #   SMOKE=1 workspace/synth_experiments.sh   # tiny world, 2 epochs, plumbing check
 #   workspace/synth_experiments.sh           # full run (hours; background it)
@@ -12,11 +15,11 @@ set -e
 cd "$(dirname "$0")/.."
 
 if [ -n "$SMOKE" ]; then
-  SYN="{'NUM_SCENES': 3, 'KEYFRAMES_PER_SCENE': 4, 'NUM_CARS': 12, 'NUM_PEDS': 4}"
-  EPOCHS_CAR=2; EPOCHS_EGO=2; TAG=smoke; NPTS=16384
+  SYN="{'NUM_SCENES': 3, 'KEYFRAMES_PER_SCENE': 4, 'NUM_CARS': 12, 'NUM_PEDS': 4, 'WORLD': 'urban', 'NUM_PARKED': 8}"
+  EPOCHS_CAR=2; EPOCHS_EGO=2; TAG=smokeurb; NPTS=16384
 else
-  SYN="{'NUM_SCENES': 15, 'KEYFRAMES_PER_SCENE': 12, 'NUM_CARS': 24, 'NUM_PEDS': 8}"
-  EPOCHS_CAR=25; EPOCHS_EGO=30; TAG=${TAG_OVERRIDE:-synfull}; NPTS=32768
+  SYN="{'NUM_SCENES': 15, 'KEYFRAMES_PER_SCENE': 12, 'NUM_CARS': 24, 'NUM_PEDS': 8, 'WORLD': 'urban', 'NUM_PARKED': 16}"
+  EPOCHS_CAR=25; EPOCHS_EGO=30; TAG=${TAG_OVERRIDE:-synurb}; NPTS=32768
 fi
 
 COMMON_SET=(DATA_CONFIG.USE_SYNTHETIC_DATA True
@@ -35,7 +38,7 @@ run_stage() {  # run_stage <name> <cmd...>
   "$@" && touch "$OUT/$name.done"
 }
 
-ckpt_of() { ls -d output/cfgs/v2x_sim_models/$1/$TAG/ckpt/checkpoint_epoch_* 2>/dev/null | sort -V | tail -1; }
+ckpt_of() { ls -d output/cfgs/v2x_sim_models/$1/$2/ckpt/checkpoint_epoch_* 2>/dev/null | sort -V | tail -1; }
 
 # ---- 1. per-agent detectors (car model also provides ego's own boxes) ------
 run_stage train_car python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_car.yaml \
@@ -48,43 +51,73 @@ run_stage train_rsu python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic
 
 # ---- 2. broadcast: exchange database over train+val --------------------------
 run_stage gen_exchange_car python workspace/v2x_gen_exchange_database.py --agent car \
-  --ckpt "$(ckpt_of v2x_pointpillar_basic_car)" --synthetic \
+  --ckpt "$(ckpt_of v2x_pointpillar_basic_car $TAG)" --synthetic \
   --set MAX_POINTS_PER_SAMPLE "$NPTS" SYNTHETIC "$SYN" MINI_TRAINVAL_STRIDE 1
 run_stage gen_exchange_rsu python workspace/v2x_gen_exchange_database.py --agent rsu \
-  --ckpt "$(ckpt_of v2x_pointpillar_basic_rsu)" --synthetic \
+  --ckpt "$(ckpt_of v2x_pointpillar_basic_rsu $TAG)" --synthetic \
   --set MAX_POINTS_PER_SAMPLE "$NPTS" SYNTHETIC "$SYN" MINI_TRAINVAL_STRIDE 1
 
 # ---- 3. collaborative ego variants -----------------------------------------
+# lately (MoDAR): trained in the async setting (exchange = previous keyframe
+# + flow propagation), the reference's main configuration
 run_stage train_ego python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego.yaml \
   --batch_size 4 --epochs $EPOCHS_EGO --extra_tag $TAG --num_epochs_to_eval 0 \
   --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1
 
-run_stage train_early python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego_early.yaml \
-  --batch_size 4 --epochs $EPOCHS_EGO --extra_tag $TAG --num_epochs_to_eval 0 \
-  --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1
+# early fusion: matched train/eval settings for each latency column
+run_stage train_early_sync python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego_early.yaml \
+  --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_sync --num_epochs_to_eval 0 \
+  --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 DATA_CONFIG.EXCHANGE_PREVIOUS False
 
+run_stage train_early_async python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego_early.yaml \
+  --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_async --num_epochs_to_eval 0 \
+  --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 DATA_CONFIG.EXCHANGE_PREVIOUS True
+
+# single-agent floor: same ego val samples + merged GT, exchange off
 run_stage train_single python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego.yaml \
   --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_nocollab --num_epochs_to_eval 0 \
   --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 DATA_CONFIG.EXCHANGE_MODAR False
 
-# ---- 4. evaluate everything --------------------------------------------------
-ev() {  # ev <stagename> <cfg> <tag> <recal> [extra --set pairs...]
-  local name=$1 cfgf=$2 tag=$3 recal=$4; shift 4
-  local recal_args=()
-  [ "$recal" != 0 ] && recal_args=(--bn_recal "$recal")
+# mid fusion (DiscoNet): frozen BEVMakers from the trained car/rsu/early models
+run_stage train_disco python tools/train.py --cfg_file $CFGS/v2x_pointpillar_disco.yaml \
+  --batch_size 4 --epochs $EPOCHS_EGO --extra_tag $TAG --num_epochs_to_eval 0 \
+  --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 \
+  MODEL.BEV_MAKER_RSU.CKPT "$(ckpt_of v2x_pointpillar_basic_rsu $TAG)" \
+  MODEL.BEV_MAKER_CAR.CKPT "$(ckpt_of v2x_pointpillar_basic_car $TAG)" \
+  MODEL.BEV_MAKER_EARLY.CKPT "$(ckpt_of v2x_pointpillar_basic_ego_early ${TAG}_sync)"
+
+# ---- 4. evaluate everything (precise-BN stats are baked; no --bn_recal) -----
+ev() {  # ev <stagename> <cfg> <tag> [extra --set pairs...]
+  local name=$1 cfgf=$2 tag=$3; shift 3
   run_stage "eval_$name" python tools/test.py --cfg_file $CFGS/$cfgf.yaml --batch_size 4 \
-    --extra_tag "$tag" --ckpt "$(ls -d output/cfgs/v2x_sim_models/$cfgf/$tag/ckpt/checkpoint_epoch_* 2>/dev/null | sort -V | tail -1)" \
-    "${recal_args[@]}" --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 "$@"
+    --extra_tag "$tag" --eval_tag "$name" \
+    --ckpt "$(ckpt_of $cfgf $tag)" \
+    --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 "$@"
 }
 
-ev car v2x_pointpillar_basic_car "$TAG" 30
-ev single v2x_pointpillar_basic_ego "${TAG}_nocollab" 30 DATA_CONFIG.EXCHANGE_MODAR False
-ev early v2x_pointpillar_basic_ego_early "$TAG" 30
-ev ego_norecal v2x_pointpillar_basic_ego "$TAG" 0
-ev ego v2x_pointpillar_basic_ego "$TAG" 30
+# per-agent car detector (own-view GT — NOT comparable to the merged-GT rows)
+ev car v2x_pointpillar_basic_car "$TAG"
+# single-agent ego, merged GT: the no-collaboration floor
+ev single v2x_pointpillar_basic_ego "${TAG}_nocollab" DATA_CONFIG.EXCHANGE_MODAR False
+# lately fusion: sync / async / async-without-flow-propagation
+ev lately_sync v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_NOW True
+ev lately_async v2x_pointpillar_basic_ego "$TAG"
+ev lately_async_noflow v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_FLOW_PROPAGATION False
+# early fusion: matched models per column
+ev early_sync v2x_pointpillar_basic_ego_early "${TAG}_sync" DATA_CONFIG.EXCHANGE_PREVIOUS False
+ev early_async v2x_pointpillar_basic_ego_early "${TAG}_async" DATA_CONFIG.EXCHANGE_PREVIOUS True
+# mid fusion DiscoNet: sync / async
+ev disco_sync v2x_pointpillar_disco "$TAG" DATA_CONFIG.EXCHANGE_PREVIOUS False
+ev disco_async v2x_pointpillar_disco "$TAG" DATA_CONFIG.EXCHANGE_PREVIOUS True
 
 # late fusion (host model over the exchange DB; no checkpoint)
-run_stage eval_late python tools/test.py --cfg_file $CFGS/v2x_late_fusion.yaml --batch_size 4 \
-  --extra_tag $TAG --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1
+late() {  # late <stagename> [extra --set pairs...]
+  local name=$1; shift
+  run_stage "eval_$name" python tools/test.py --cfg_file $CFGS/v2x_late_fusion.yaml --batch_size 4 \
+    --extra_tag $TAG --eval_tag "$name" --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 "$@"
+}
+late late_sync DATA_CONFIG.EXCHANGE_SETTING now
+late late_async DATA_CONFIG.EXCHANGE_SETTING prev
+late late_async_noflow DATA_CONFIG.EXCHANGE_SETTING prev DATA_CONFIG.EXCHANGE_FLOW_PROPAGATION False
 
 log "ALL DONE — grep mAP: grep -h 'mAP\|NDS' output/cfgs/v2x_sim_models/*/*/eval/log_eval_*.txt"

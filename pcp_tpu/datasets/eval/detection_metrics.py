@@ -261,7 +261,17 @@ def nuscenes_protocol_eval(det_annos, gt_by_token, class_names, output_path=None
     nds = (5.0 * mean_ap + sum(tp_scores)) / (5.0 + len(tp_scores)) if tp_scores else mean_ap
     result_dict["mAP"] = mean_ap
     result_dict["NDS"] = nds
-    lines.append(f"mAP: {mean_ap * 100:.2f}  NDS: {nds * 100:.2f}")
+    # make the NDS divisor explicit: devkit NDS averages 5 TP metrics; when
+    # velocity/attribute data is absent (7-DOF V2X boxes) only the available
+    # ones enter, and the printed name says so — the number is NOT comparable
+    # to a nuScenes-devkit NDS unless all five are listed
+    tp_names = sorted({k.split("_", 1)[1] for k in result_dict
+                       if any(k.endswith(s) for s in _TP_NAME.values())})
+    n_cls = max(len(class_names), 1)
+    nds_label = ("NDS" if len(tp_scores) == 5 * n_cls
+                 else f"NDS[{','.join(tp_names) or 'mAP-only'}]")
+    result_dict["NDS_tp_metrics"] = tp_names
+    lines.append(f"mAP: {mean_ap * 100:.2f}  {nds_label}: {nds * 100:.2f}")
     result_str = "\n".join(lines)
 
     if output_path is not None:

@@ -165,9 +165,10 @@ class AnchorHeadSingle(nn.Module):
         pos_fraction = float(ta_cfg.get("POS_FRACTION", -1.0))
         if pos_fraction >= 0:
             raise NotImplementedError("POS_FRACTION subsampling not supported")
-        assert ta_cfg.get("NAME", "AxisAlignedTargetAssigner") == "AxisAlignedTargetAssigner", (
-            "only AxisAlignedTargetAssigner is implemented (ATSS unused by reference configs)"
-        )
+        self.assigner_name = str(ta_cfg.get("NAME", "AxisAlignedTargetAssigner"))
+        assert self.assigner_name in ("AxisAlignedTargetAssigner", "ATSSTargetAssigner"), \
+            self.assigner_name
+        self.atss_topk = int(ta_cfg.get("TOPK", 9))
 
         pi = 0.01
         self.conv_cls = nn.Dense(
@@ -248,7 +249,96 @@ class AnchorHeadSingle(nn.Module):
             reg_weights = (labels > 0).astype(jnp.float32)
         return {"box_cls_labels": labels, "box_reg_targets": targets, "reg_weights": reg_weights}
 
+    def _assign_single_atss(self, gt_boxes):
+        """Vectorized ATSS assignment (arXiv:1912.02424; reference
+        atss_target_assigner.py:76-141): per anchor set, pick the TOPK
+        center-closest anchors per GT, threshold their IoUs at mean+std,
+        require the anchor center inside the GT BEV box, resolve multi-GT
+        anchors by max IoU, and force-match each GT's best anchor. Unlike the
+        axis-aligned assigner, ATSS does not filter GTs per anchor class —
+        labels carry the matched GT's class (reference :16-52)."""
+        gy, gx, a_loc, ndim = self.anchors_grid.shape
+        m = gt_boxes.shape[0]
+        gt_valid = jnp.any(gt_boxes[:, :7] != 0, axis=-1)
+        gt_cls = gt_boxes[:, -1].astype(jnp.int32)
+        neg_inf = jnp.float32(-1e9)
+
+        labels_sets, tgt_sets = [], []
+        offset = 0
+        for s in range(len(self.anchor_class_names)):
+            na_set = self.set_sizes[s]
+            anchors = jnp.asarray(
+                self.anchors_grid[:, :, offset: offset + na_set, :].reshape(-1, ndim))
+            offset += na_set
+            n = anchors.shape[0]
+
+            if self.match_height:
+                from ...ops.rotated_iou import boxes_iou3d
+
+                iou = boxes_iou3d(anchors[:, :7], gt_boxes[:, :7])
+            else:
+                from ...ops.rotated_iou import boxes_iou_bev
+
+                iou = boxes_iou_bev(anchors[:, :7], gt_boxes[:, :7])
+            iou = jnp.where(gt_valid[None, :], iou, neg_inf)
+
+            dist = jnp.linalg.norm(
+                anchors[:, None, 0:3] - gt_boxes[None, :, 0:3], axis=-1)
+            k = min(self.atss_topk, n)
+            _, topk_idx = jax.lax.top_k(-dist.T, k)  # (M, K) nearest anchors
+            cand_iou = jnp.take_along_axis(iou.T, topk_idx, axis=1)  # (M, K)
+            # torch .std uses Bessel's correction (ddof=1)
+            mean = jnp.mean(cand_iou, axis=1)
+            std = jnp.sqrt(jnp.sum((cand_iou - mean[:, None]) ** 2, axis=1)
+                           / jnp.maximum(k - 1, 1))
+            thresh = mean + std + 1e-6
+            is_pos = cand_iou >= thresh[:, None]  # (M, K)
+
+            # anchor center inside the GT BEV rectangle
+            cand_anchor_xyz = anchors[topk_idx.reshape(-1), 0:3].reshape(m, k, 3)
+            rel = cand_anchor_xyz - gt_boxes[:, None, 0:3]
+            c, si = jnp.cos(-gt_boxes[:, 6]), jnp.sin(-gt_boxes[:, 6])
+            lx = rel[..., 0] * c[:, None] - rel[..., 1] * si[:, None]
+            ly = rel[..., 0] * si[:, None] + rel[..., 1] * c[:, None]
+            half_l = gt_boxes[:, 3] / 2
+            half_w = gt_boxes[:, 4] / 2
+            in_gt = (jnp.abs(lx) <= half_l[:, None]) & (jnp.abs(ly) <= half_w[:, None])
+            is_pos = is_pos & in_gt & gt_valid[:, None]
+
+            # scatter candidate positives into a dense (N, M) mask
+            pos_nm = jnp.zeros((n, m), bool)
+            cols = jnp.broadcast_to(jnp.arange(m)[:, None], (m, k))
+            pos_nm = pos_nm.at[topk_idx.reshape(-1), cols.reshape(-1)].max(
+                is_pos.reshape(-1))
+            ious_inf = jnp.where(pos_nm, iou, neg_inf)
+
+            # force-match each valid GT's best anchor (reference :124-127)
+            best_anchor = jnp.argmax(iou, axis=0)  # (M,)
+            best_iou = jnp.max(iou, axis=0)
+            forced_idx = jnp.where(gt_valid, best_anchor, n)  # invalid -> dropped
+            a2g_val = jnp.max(ious_inf, axis=1)
+            a2g_idx = jnp.argmax(ious_inf, axis=1)
+            a2g_idx = a2g_idx.at[forced_idx].set(jnp.arange(m), mode="drop")
+            a2g_val = a2g_val.at[forced_idx].set(best_iou, mode="drop")
+
+            labels = jnp.where(a2g_val > neg_inf,
+                               jnp.take(gt_cls, a2g_idx), 0).astype(jnp.int32)
+            fg = labels > 0
+            matched_gt = jnp.take(gt_boxes[:, :7], a2g_idx, axis=0)
+            enc = self.box_coder.encode(matched_gt, anchors[:, :7])
+            tgt = jnp.where(fg[:, None], enc, 0.0)
+            labels_sets.append(labels.reshape(gy, gx, na_set))
+            tgt_sets.append(tgt.reshape(gy, gx, na_set, -1))
+
+        labels = jnp.concatenate(labels_sets, axis=2).reshape(-1)
+        targets = jnp.concatenate(tgt_sets, axis=2).reshape(labels.shape[0], -1)
+        reg_weights = (labels > 0).astype(jnp.float32)
+        return {"box_cls_labels": labels, "box_reg_targets": targets,
+                "reg_weights": reg_weights}
+
     def assign_targets(self, gt_boxes):
+        if self.assigner_name == "ATSSTargetAssigner":
+            return jax.vmap(self._assign_single_atss)(gt_boxes)
         return jax.vmap(self._assign_single)(gt_boxes)
 
     # ---------------------------------------------------------------- forward
@@ -383,15 +473,20 @@ class AnchorHeadMulti(AnchorHeadSingle):
     SEPARATE_REG_CONFIG middle-conv towers, reference SingleHead :10-148).
     Per-location outputs are concatenated in anchor-set order, so the flat
     anchor layout matches the single-head path exactly.
-    SEPARATE_MULTIHEAD (per-head class lists + multihead NMS label mapping)
-    is not implemented — it fails loudly.
+
+    SEPARATE_MULTIHEAD (reference :159,190,210-216,233-237): each head
+    predicts logits only for its own HEAD_CLS_NAME list; here those logits
+    are scattered into the full (num_class) column layout with -20 elsewhere
+    (sigmoid ~ 0), so the shared loss/post-processing reproduce the
+    reference's per-head slicing + head_label_indices NMS mapping without
+    ragged lists — other heads' columns contribute ~0 loss and never pass a
+    positive score threshold.
     """
 
     def setup(self):
         super().setup()
         cfg = self.model_cfg
-        if bool(cfg.get("SEPARATE_MULTIHEAD", False)):
-            raise NotImplementedError("SEPARATE_MULTIHEAD")
+        self.separate_multihead = bool(cfg.get("SEPARATE_MULTIHEAD", False))
         self.shared_filters = cfg.get("SHARED_CONV_NUM_FILTER")
         self.rpn_head_cfgs = list(cfg["RPN_HEAD_CFGS"])
         # per-head anchor counts: sum of set sizes of the head's class names
@@ -416,6 +511,8 @@ class AnchorHeadMulti(AnchorHeadSingle):
         pi = 0.01
         cls_parts, box_parts, dir_parts = [], [], []
         for i, na in enumerate(self.head_anchor_counts):
+            head_nc = (len(self.rpn_head_cfgs[i]["HEAD_CLS_NAME"])
+                       if self.separate_multihead else self.num_class)
             if sep is not None:
                 def mid(h, prefix):
                     for k in range(int(sep["NUM_MIDDLE_CONV"])):
@@ -425,7 +522,7 @@ class AnchorHeadMulti(AnchorHeadSingle):
                                          epsilon=1e-5, name=f"{prefix}_bn_{k}")(h)
                         h = nn.relu(h)
                     return h
-                c = nn.Conv(na * self.num_class, (3, 3), padding=1,
+                c = nn.Conv(na * head_nc, (3, 3), padding=1,
                             bias_init=nn.initializers.constant(-np.log((1 - pi) / pi)),
                             name=f"head{i}_cls_out")(mid(x, f"head{i}_cls"))
                 regs = []
@@ -436,13 +533,21 @@ class AnchorHeadMulti(AnchorHeadSingle):
                     regs.append(r.reshape(r.shape[:3] + (na, int(rchan))))
                 b = jnp.concatenate(regs, axis=-1)
             else:
-                c = nn.Conv(na * self.num_class, (1, 1),
+                c = nn.Conv(na * head_nc, (1, 1),
                             bias_init=nn.initializers.constant(-np.log((1 - pi) / pi)),
                             name=f"head{i}_cls")(x)
                 b = nn.Conv(na * self.box_coder.code_size, (1, 1),
                             kernel_init=nn.initializers.normal(stddev=0.001),
                             name=f"head{i}_box")(x)
                 b = b.reshape(b.shape[:3] + (na, self.box_coder.code_size))
+            c = c.reshape(c.shape[:3] + (na, head_nc))
+            if self.separate_multihead and head_nc != self.num_class:
+                # scatter the head's class columns into the full layout
+                idxs = [list(self.class_names).index(n)
+                        for n in self.rpn_head_cfgs[i]["HEAD_CLS_NAME"]]
+                full = jnp.full(c.shape[:4] + (self.num_class,), -20.0, c.dtype)
+                full = full.at[..., jnp.asarray(idxs)].set(c)
+                c = full
             cls_parts.append(c.reshape(c.shape[:3] + (na, self.num_class)))
             box_parts.append(b)
             if self.use_dir:

@@ -1,5 +1,6 @@
 from .caddn import CaDDN
 from .centerpoint import CenterPoint
+from .mppnet import MPPNet, MPPNetE2E
 from .parta2_net import PartA2Net
 from .pillarnet import PillarNet
 from .detector_template import Detector3DTemplate, DatasetInfo
@@ -7,6 +8,7 @@ from .pointpillar import PointPillar, SECONDNet
 from .pointrcnn import PointRCNN
 from .pvrcnn import PVRCNN
 from .pv_rcnn_plusplus import PVRCNNPlusPlus
+from .obj_discoverer import ObjectDiscoverer
 from .second_net_iou import SECONDNetIoU
 from .voxel_rcnn import VoxelRCNN
 from .v2x_late_fusion import V2XLateFusion
@@ -14,6 +16,9 @@ from .v2x_late_fusion import V2XLateFusion
 __all__ = {
     "CaDDN": CaDDN,
     "CenterPoint": CenterPoint,
+    "MPPNet": MPPNet,
+    "MPPNetE2E": MPPNetE2E,
+    "ObjectDiscoverer": ObjectDiscoverer,
     "PillarNet": PillarNet,
     "PartA2": PartA2Net,
     "PartA2Net": PartA2Net,

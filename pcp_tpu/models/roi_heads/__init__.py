@@ -1,3 +1,4 @@
+from .mppnet_head import MPPNetHead
 from .parta2_head import PartA2FCHead
 from .pointrcnn_head import PointRCNNHead
 from .pvrcnn_head import PVRCNNHead
@@ -6,6 +7,7 @@ from .voxelrcnn_head import VoxelRCNNHead
 from .roi_head_template import RoIHeadTemplate
 
 __all__ = {
+    "MPPNetHead": MPPNetHead,
     "PartA2FCHead": PartA2FCHead,
     "PointRCNNHead": PointRCNNHead,
     "PVRCNNHead": PVRCNNHead,

@@ -168,6 +168,8 @@ def sample_rois_for_rcnn(key, rois, roi_scores, roi_labels, gt_boxes, sampler_cf
         "roi_ious": jnp.where(ok, max_overlaps[sel], 0.0),
         "gt_of_rois": gt_boxes[gt_assignment[sel]] * ok[:, None],
         "roi_sample_valid": ok,
+        "roi_sel": sel.astype(jnp.int32),  # source-slot indices (MPPNet needs
+        # them to gather per-trajectory side data for the sampled rois)
     }
     return out
 

@@ -109,6 +109,28 @@ def nms_bev_mask(boxes, scores, valid_mask, thresh, post_max_size=83):
     return mask
 
 
+@partial(jax.jit, static_argnames=("post_max_size",))
+def nms_circle(boxes, scores, valid_mask, dist_thresh, post_max_size=83):
+    """Greedy circle NMS (CenterPoint ``circle_nms``: suppress a detection
+    whose squared center distance to a higher-scoring kept one is below
+    ``dist_thresh``). Same fixed-point greedy machinery as :func:`nms_bev`
+    with the pairwise criterion swapped to -dist^2 > -thresh."""
+    neg_inf = jnp.array(-jnp.inf, dtype=scores.dtype)
+    order = jnp.argsort(-jnp.where(valid_mask, scores, neg_inf))
+    boxes_s = boxes[order]
+    valid_s = valid_mask[order]
+    d2 = jnp.sum(
+        (boxes_s[:, None, :2] - boxes_s[None, :, :2]) ** 2, axis=-1)
+    keep = _greedy_suppress(-d2, valid_s, -float(dist_thresh))
+    kept_rank = jnp.cumsum(keep) - 1
+    out = jnp.full((post_max_size,), -1, dtype=jnp.int32)
+    scatter_pos = jnp.where(keep, kept_rank, post_max_size)
+    out = out.at[jnp.clip(scatter_pos, 0, post_max_size)].set(
+        order.astype(jnp.int32), mode="drop")
+    keep_count = jnp.minimum(jnp.sum(keep), post_max_size).astype(jnp.int32)
+    return out, keep_count
+
+
 def class_agnostic_nms(boxes, scores, valid_mask, nms_cfg, score_thresh=None):
     """Config-driven class-agnostic NMS mirroring the reference
     ``model_nms_utils.class_agnostic_nms`` (model_nms_utils.py:6-25): optional
@@ -128,7 +150,14 @@ def class_agnostic_nms(boxes, scores, valid_mask, nms_cfg, score_thresh=None):
 
     pre_max = int(nms_cfg["NMS_PRE_MAXSIZE"])
     post_max = int(nms_cfg["NMS_POST_MAXSIZE"])
-    normal = str(nms_cfg.get("NMS_TYPE", "nms_gpu")) == "nms_normal_gpu"
+    nms_type = str(nms_cfg.get("NMS_TYPE", "nms_gpu"))
+    normal = nms_type == "nms_normal_gpu"
+
+    if nms_type == "circle_nms":
+        # reference centernet_utils.circle_nms decode path: the threshold is
+        # the squared center-distance radius (config MIN_RADIUS)
+        return nms_circle(boxes[:, :7], scores, valid_mask,
+                          float(nms_cfg["NMS_THRESH"]), post_max_size=post_max)
 
     # optional implementation cap on the quadratic (K, K) IoU matrix.
     # Default 0 = exact reference semantics (full NMS_PRE_MAXSIZE candidate

@@ -121,7 +121,7 @@ def nms_circle(boxes, scores, valid_mask, dist_thresh, post_max_size=83):
     valid_s = valid_mask[order]
     d2 = jnp.sum(
         (boxes_s[:, None, :2] - boxes_s[None, :, :2]) ** 2, axis=-1)
-    keep = _greedy_suppress(-d2, valid_s, -float(dist_thresh))
+    keep = _greedy_suppress(-d2, valid_s, -dist_thresh)
     kept_rank = jnp.cumsum(keep) - 1
     out = jnp.full((post_max_size,), -1, dtype=jnp.int32)
     scatter_pos = jnp.where(keep, kept_rank, post_max_size)

@@ -108,11 +108,12 @@ def test_separate_multihead_e2e():
     variables = model.init(jax.random.PRNGKey(0), batch, train=True)
     out = model.apply(variables, batch, train=False)
     cls = np.asarray(out["batch_cls_preds"][0])  # (NA, 2)
-    na_half = cls.shape[0] // 2
-    # car head rows (first anchor block) must have pedestrian column ~ -20
-    assert np.allclose(cls[:na_half, 1], -20.0, atol=1e-4)
-    assert np.allclose(cls[na_half:, 0], -20.0, atol=1e-4)
-    assert not np.allclose(cls[:na_half, 0], -20.0)
+    # flat anchor layout is (y, x, a) with a = [car_rot0, car_rot1, ped_rot0,
+    # ped_rot1]: car-head rows must have the pedestrian column ~ -20 and v.v.
+    per_loc = cls.reshape(-1, 4, 2)
+    assert np.allclose(per_loc[:, :2, 1], -20.0, atol=1e-4)
+    assert np.allclose(per_loc[:, 2:, 0], -20.0, atol=1e-4)
+    assert not np.allclose(per_loc[:, :2, 0], -20.0)
 
     def loss_fn(p):
         o, _ = model.apply({"params": p, "batch_stats": variables.get("batch_stats", {})},

@@ -108,7 +108,9 @@ class DynamicPillarVFE(nn.Module):
         return coords, valid, pid
 
     def _forward_sorted(self, batch, train=False):
-        from ...ops.pallas.bev_scatter import bev_scatter_max_sorted, use_interpret
+        from ...ops.pallas.bev_scatter import (bev_scatter_max_sorted,
+                                               bev_scatter_max_sorted_prereduced,
+                                               use_interpret)
         from ...ops.sorted_segments import segment_total_to_points, sort_by_pid
 
         vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
@@ -170,7 +172,14 @@ class DynamicPillarVFE(nn.Module):
                 features = jnp.concatenate([features, back], axis=-1)
 
         final = jnp.where(valid_s[..., None], pooled_pts, 0.0)
-        bev = bev_scatter_max_sorted(final, pid_s, ny, nx, interpret=use_interpret())
+        # PRE_REDUCE: segmented-scan fold + tail-only stores — wins at real
+        # cloud occupancy (>= ~4 points/pillar); the default per-point kernel
+        # wins on near-unique pillar ids
+        if bool(self.model_cfg.get("PRE_REDUCE", False)):
+            bev = bev_scatter_max_sorted_prereduced(
+                final, pid_s, ny, nx, interpret=use_interpret())
+        else:
+            bev = bev_scatter_max_sorted(final, pid_s, ny, nx, interpret=use_interpret())
 
         out = dict(batch)
         out["pillar_features"] = bev.reshape(b, ny * nx, -1)

@@ -29,6 +29,65 @@ CHUNK = 1024
 UNROLL = 8
 
 
+def _make_tails_kernel(n, rw, c, chunk):
+    """Pre-reduced variant: every row already carries its full segment max
+    (XLA-side segmented scan), and only segment-TAIL rows are written — one
+    store per occupied pillar instead of one accumulate per point. At real
+    cloud occupancy (5-20 points/pillar) this cuts the dynamic-sublane
+    traffic 5-20x; at ~1 point/pillar the per-row branch makes it a wash."""
+    num_chunks = (n + chunk - 1) // chunk
+
+    def kernel(starts_ref, pids_hbm, tails_hbm, feats_hbm, out_ref,
+               pid_smem, tail_smem, feat_vmem, dma_sems):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        base = t * rw
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        start = starts_ref[b, t]
+        end = starts_ref[b, t + 1]
+
+        for k in range(num_chunks):
+            c0 = k * chunk
+
+            @pl.when((c0 < end) & (c0 + chunk > start))
+            def _process_chunk(c0=c0):
+                pid_copy = pltpu.make_async_copy(
+                    pids_hbm.at[pl.ds(b * n + c0, chunk)], pid_smem, dma_sems.at[0]
+                )
+                tail_copy = pltpu.make_async_copy(
+                    tails_hbm.at[pl.ds(b * n + c0, chunk)], tail_smem, dma_sems.at[2]
+                )
+                feat_copy = pltpu.make_async_copy(
+                    feats_hbm.at[pl.ds(b * n + c0, chunk), :], feat_vmem, dma_sems.at[1]
+                )
+                pid_copy.start()
+                tail_copy.start()
+                feat_copy.start()
+                pid_copy.wait()
+                tail_copy.wait()
+                feat_copy.wait()
+
+                def body(j, _):
+                    i = c0 + j
+                    raw = pid_smem[j] - base
+                    ok = ((i >= start) & (i < end) & (raw >= 0) & (raw < rw)
+                          & (tail_smem[j] != 0))
+
+                    @pl.when(ok)
+                    def _store():
+                        # single writer per pillar (one tail per segment), and
+                        # the tile was zeroed: a plain store suffices
+                        out_ref[0, raw, :] = feat_vmem[j, :][:c]
+
+                    return _
+
+                jax.lax.fori_loop(0, chunk, body, None)
+
+    return kernel
+
+
 def _make_kernel(n, rw, c, chunk):
     num_chunks = (n + chunk - 1) // chunk
 
@@ -120,6 +179,30 @@ def _bev_bwd(h, w, interpret, res, g):
 bev_scatter_max_sorted.defvjp(_bev_fwd, _bev_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bev_scatter_max_sorted_prereduced(feats_sorted, pids_sorted, h, w, interpret=False):
+    """Pre-reduced forward: an XLA-side segmented max-scan folds each segment
+    to its tail row, then the tails kernel does ONE store per occupied pillar
+    (vs one accumulate per point). Numerically identical to
+    :func:`bev_scatter_max_sorted`; preferable at realistic cloud occupancy
+    (>= ~4 points/pillar). Same feats >= 0 requirement and tie-splitting VJP."""
+    out, _ = _bev_prereduced_fwd(feats_sorted, pids_sorted, h, w, interpret)
+    return out
+
+
+def _bev_prereduced_fwd(feats_sorted, pids_sorted, h, w, interpret):
+    from ..sorted_segments import segment_total_to_points
+
+    red = segment_total_to_points(feats_sorted, pids_sorted, jnp.maximum)
+    nxt = jnp.pad(pids_sorted[:, 1:], ((0, 0), (0, 1)), constant_values=-1)
+    tails = (pids_sorted != nxt).astype(jnp.int32)
+    out = _bev_scatter_max_tails_impl(red, pids_sorted, tails, h, w, interpret)
+    return out, (feats_sorted, pids_sorted, out)
+
+
+bev_scatter_max_sorted_prereduced.defvjp(_bev_prereduced_fwd, _bev_bwd)
+
+
 @partial(jax.jit, static_argnames=("h", "w", "interpret"))
 def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
     """Args:
@@ -175,6 +258,60 @@ def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, pids_sorted.reshape(-1), feats_flat)
+    return out.reshape(b, h, w, c)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _bev_scatter_max_tails_impl(feats_sorted, pids_sorted, tails, h, w, interpret=False):
+    """Like :func:`_bev_scatter_max_impl` with a per-row tail flag; only tail
+    rows (which carry the full segment max) are stored."""
+    b, n, c = feats_sorted.shape
+    chunk = min(CHUNK, -(-n // UNROLL) * UNROLL)
+    if n % chunk:
+        pad_n = chunk - n % chunk
+        feats_sorted = jnp.pad(feats_sorted, ((0, 0), (0, pad_n), (0, 0)))
+        pids_sorted = jnp.pad(pids_sorted, ((0, 0), (0, pad_n)), constant_values=h * w)
+        tails = jnp.pad(tails, ((0, 0), (0, pad_n)))
+        n = n + pad_n
+    rows_per_tile = max(1, min(32, 2 * 1024 * 1024 // max(w * c * 4, 1)))
+    while h % rows_per_tile != 0:
+        rows_per_tile -= 1
+    t = h // rows_per_tile
+    rw = rows_per_tile * w
+
+    c_pad = -(-c // 128) * 128
+    boundaries = jnp.arange(t + 1, dtype=jnp.int32) * rw
+    starts = jax.vmap(lambda p: jnp.searchsorted(p, boundaries, side="left"))(
+        pids_sorted
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N,) ids in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N,) tail flags in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N, C) feats in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rw, c), lambda bi, ti, s: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.VMEM((chunk, c_pad), feats_sorted.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    feats_flat = feats_sorted.reshape(b * n, c)
+    if c_pad != c:
+        feats_flat = jnp.pad(feats_flat, ((0, 0), (0, c_pad - c)))
+    out = pl.pallas_call(
+        _make_tails_kernel(n, rw, c, chunk),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), feats_sorted.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, pids_sorted.reshape(-1), tails.reshape(-1), feats_flat)
     return out.reshape(b, h, w, c)
 
 

@@ -52,3 +52,40 @@ class TestBEVKernelGrad:
         grads = jax.grad(loss_fn)(variables["params"])
         total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
         assert np.isfinite(total) and total > 0
+
+
+def test_prereduced_matches_default():
+    """bev_scatter_max_sorted_prereduced == bev_scatter_max_sorted (values
+    and VJP) at mixed occupancy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcp_tpu.ops.pallas.bev_scatter import (
+        bev_scatter_max_sorted, bev_scatter_max_sorted_prereduced, use_interpret)
+
+    rng = np.random.default_rng(0)
+    b, n, c, h, w = 2, 512, 8, 16, 16
+    # clustered ids: ~8 points per pillar + some singletons, sorted
+    pid = np.sort(np.concatenate([
+        rng.integers(0, h * w, n // 2) // 1,
+        np.repeat(rng.integers(0, h * w, n // 16), 8),
+    ])[:n].reshape(1, n).repeat(b, 0), axis=1).astype(np.int32)
+    # mark a padding run
+    pid[:, -20:] = h * w
+    feats = jnp.asarray(np.abs(rng.normal(size=(b, n, c))).astype(np.float32))
+    pids = jnp.asarray(pid)
+
+    interp = use_interpret()
+    ref = bev_scatter_max_sorted(feats, pids, h, w, interp)
+    got = bev_scatter_max_sorted_prereduced(feats, pids, h, w, interp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    def loss_ref(f):
+        return jnp.sum(bev_scatter_max_sorted(f, pids, h, w, interp) ** 2)
+
+    def loss_pre(f):
+        return jnp.sum(bev_scatter_max_sorted_prereduced(f, pids, h, w, interp) ** 2)
+
+    g_ref = jax.grad(loss_ref)(feats)
+    g_pre = jax.grad(loss_pre)(feats)
+    np.testing.assert_allclose(np.asarray(g_pre), np.asarray(g_ref), atol=1e-5)

@@ -215,7 +215,9 @@ def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
         (B, h, w, C) max-pooled dense BEV (empty pillars = 0).
     """
     b, n, c = feats_sorted.shape
-    chunk = min(CHUNK, -(-n // UNROLL) * UNROLL)  # divisible by UNROLL
+    # chunk is always the full CHUNK: int32 SMEM DMA slices must be aligned
+    # to the (1024,) tiling — a smaller final chunk fails Mosaic
+    chunk = CHUNK
     if n % chunk:  # pad to a whole number of chunks; pads carry pid == h*w
         pad_n = chunk - n % chunk
         feats_sorted = jnp.pad(feats_sorted, ((0, 0), (0, pad_n), (0, 0)))
@@ -266,7 +268,7 @@ def _bev_scatter_max_tails_impl(feats_sorted, pids_sorted, tails, h, w, interpre
     """Like :func:`_bev_scatter_max_impl` with a per-row tail flag; only tail
     rows (which carry the full segment max) are stored."""
     b, n, c = feats_sorted.shape
-    chunk = min(CHUNK, -(-n // UNROLL) * UNROLL)
+    chunk = CHUNK  # full chunks only: SMEM DMA slice alignment (see above)
     if n % chunk:
         pad_n = chunk - n % chunk
         feats_sorted = jnp.pad(feats_sorted, ((0, 0), (0, pad_n), (0, 0)))

@@ -10,9 +10,15 @@
 #   SMOKE=1 workspace/synth_experiments.sh   # tiny world, 2 epochs, plumbing check
 #   workspace/synth_experiments.sh           # full run (hours; background it)
 #
-# Stages write markers into $OUT so a re-run resumes after the last finished one.
-set -e
+# Stages write markers into $OUT so a re-run resumes after the last finished
+# one. A failing stage logs FAILED and the pipeline continues (later stages
+# that depend on it will fail too, but independent rows still get produced).
 cd "$(dirname "$0")/.."
+
+# persistent compilation cache: the same model/shape compiles repeat across
+# the ~20 stage processes; caching them saves most of the compile wall-clock
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-output/jax_cache}
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 if [ -n "$SMOKE" ]; then
   SYN="{'NUM_SCENES': 3, 'KEYFRAMES_PER_SCENE': 4, 'NUM_CARS': 12, 'NUM_PEDS': 4, 'WORLD': 'urban', 'NUM_PARKED': 8}"
@@ -35,7 +41,12 @@ run_stage() {  # run_stage <name> <cmd...>
   local name=$1; shift
   if [ -f "$OUT/$name.done" ]; then log "skip $name (done)"; return 0; fi
   log "=== $name ==="
-  "$@" && touch "$OUT/$name.done"
+  if "$@"; then
+    touch "$OUT/$name.done"
+  else
+    log "FAILED $name (continuing)"
+    echo "$name" >> "$OUT/failed.txt"
+  fi
 }
 
 ckpt_of() { ls -d output/cfgs/v2x_sim_models/$1/$2/ckpt/checkpoint_epoch_* 2>/dev/null | sort -V | tail -1; }

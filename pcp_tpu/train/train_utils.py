@@ -112,12 +112,16 @@ def train_one_epoch(model, state, tx, train_loader, epoch, logger=None, mesh=Non
 
 def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=None,
                 mesh=None, max_ckpt_save_num=30, start_epoch=0, tb_writer=None,
-                profile_dir=None, ckpt_save_time_interval=300, precise_bn_batches=0):
+                profile_dir=None, ckpt_save_time_interval=300, precise_bn_batches=0,
+                precise_bn_every=0):
     """precise_bn_batches > 0 bakes dataset-average BN statistics (SWA-style
-    update_bn) into every saved checkpoint: the small-dataset BN-EMA drift
-    that previously required ``tools/test.py --bn_recal`` is fixed at the
-    source — running stats never affect the train-mode forward, so replacing
-    them is free for optimization and only improves eval."""
+    update_bn) into saved checkpoints: the small-dataset BN-EMA drift that
+    previously required ``tools/test.py --bn_recal`` is fixed at the source —
+    running stats never affect the train-mode forward, so replacing them is
+    free for optimization and only improves eval. By default only the final
+    epoch's checkpoint is baked (a recal pass costs ~a third of an epoch);
+    ``precise_bn_every=N`` additionally bakes every Nth epoch (for
+    ``--eval_all`` workflows that score intermediate checkpoints)."""
     step_fn = make_train_step(model, tx)
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
@@ -133,7 +137,11 @@ def train_model(model, state, tx, train_loader, total_epochs, ckpt_dir, logger=N
             ckpt_save_dir=ckpt_dir, ckpt_save_time_interval=ckpt_save_time_interval,
             snapshot_tracker=snapshot_tracker,
         )
-        if precise_bn_batches > 0:
+        bake = precise_bn_batches > 0 and (
+            epoch == total_epochs - 1
+            or (precise_bn_every > 0 and (epoch + 1) % precise_bn_every == 0)
+        )
+        if bake:
             from .bn_recal import recalibrate_batch_stats
 
             new_bs = recalibrate_batch_stats(

@@ -39,8 +39,11 @@ def parse_config():
     parser.add_argument("--ckpt_save_time_interval", type=int, default=300,
                         help="seconds between overwriting 'latest_model' snapshots")
     parser.add_argument("--precise_bn", type=int, default=30,
-                        help="bake dataset-average BN stats (SWA update_bn) into each "
-                             "checkpoint, averaging over N train batches (0 = off)")
+                        help="bake dataset-average BN stats (SWA update_bn) into the "
+                             "final checkpoint, averaging over N train batches (0 = off)")
+    parser.add_argument("--precise_bn_every", type=int, default=0,
+                        help="additionally bake every Nth epoch checkpoint (for "
+                             "--eval_all workflows; 0 = final epoch only)")
     parser.add_argument("--num_epochs_to_eval", type=int, default=15,
                         help="auto-eval the last N epoch checkpoints after training (0 = off)")
     parser.add_argument("--max_waiting_mins", type=int, default=0)
@@ -140,7 +143,7 @@ def main():
         max_ckpt_save_num=args.max_ckpt_save_num, start_epoch=start_epoch,
         profile_dir=(output_dir / "profile") if args.profile else None,
         tb_writer=tb_writer, ckpt_save_time_interval=args.ckpt_save_time_interval,
-        precise_bn_batches=args.precise_bn,
+        precise_bn_batches=args.precise_bn, precise_bn_every=args.precise_bn_every,
     )
     logger.info("**********************Training done**********************")
 

@@ -1,3 +1,4 @@
+from .focal_sparse import VoxelBackBone8xFocal
 from .pillar_backbone_2d import PillarBackBone8x, PillarRes18BackBone8x
 from .pointnet2_backbone import PointNet2MSG
 from .spconv_backbone import UNetV2, VoxelBackBone8x, VoxelResBackBone8x
@@ -8,6 +9,7 @@ __all__ = {
     "PointNet2MSG": PointNet2MSG,
     "UNetV2": UNetV2,
     "VoxelBackBone8x": VoxelBackBone8x,
+    "VoxelBackBone8xFocal": VoxelBackBone8xFocal,
     "VoxelResBackBone8x": VoxelResBackBone8x,
 }
 

@@ -94,6 +94,9 @@ class PointPillar(Detector3DTemplate):
                     loss = loss + rpn_loss
                     tb.update(rpn_tb)
             tb["loss_rpn"] = loss
+            if "backbone_3d_loss" in out:  # focal sparse conv supervision
+                loss = loss + out["backbone_3d_loss"]
+                tb.update(out.get("backbone_3d_tb", {}))
             out["loss"] = loss
             out["tb_dict"] = tb
         else:

@@ -88,6 +88,90 @@ def _make_tails_kernel(n, rw, c, chunk):
     return kernel
 
 
+def _make_fused_kernel(n, rw, c, chunk):
+    """Fused variant: the chunk-local segmented max runs INSIDE the kernel as
+    a log2(chunk)-step shift sweep over the (chunk, C) VMEM block, so the
+    XLA-side 64-channel segmented scan (~4 ms HBM-bound on b8) disappears;
+    then only segment-tail rows are folded into the tile with a read-max-write
+    (skipped rows cost a predicated branch, ~4 cycles, vs ~30 for the RMW).
+    Segments spanning chunk boundaries are handled by forcing a tail at the
+    last row of every chunk (each chunk then contributes its partial max) —
+    the RMW-max store makes multiple partial stores per pillar safe."""
+    num_chunks = (n + chunk - 1) // chunk
+
+    def kernel(starts_ref, pids_hbm, tails_hbm, feats_hbm, out_ref,
+               pid_smem, tail_smem, feat_vmem, dma_sems):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        base = t * rw
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        start = starts_ref[b, t]
+        end = starts_ref[b, t + 1]
+
+        for k in range(num_chunks):
+            c0 = k * chunk
+
+            @pl.when((c0 < end) & (c0 + chunk > start))
+            def _process_chunk(c0=c0):
+                copies = [
+                    pltpu.make_async_copy(
+                        pids_hbm.at[pl.ds(b * n + c0, chunk)], pid_smem, dma_sems.at[0]
+                    ),
+                    pltpu.make_async_copy(
+                        tails_hbm.at[pl.ds(b * n + c0, chunk)], tail_smem, dma_sems.at[1]
+                    ),
+                    pltpu.make_async_copy(
+                        feats_hbm.at[pl.ds(b * n + c0, chunk), :], feat_vmem, dma_sems.at[2]
+                    ),
+                ]
+                for cp in copies:
+                    cp.start()
+                for cp in copies:
+                    cp.wait()
+
+                # vectorized Hillis-Steele segmented max over the chunk: after
+                # the sweep every row holds the max over all earlier same-pid
+                # rows of the chunk, so each tail row carries its segment's
+                # full (chunk-local) max. The pillar id rides lane ``c`` of
+                # the (128-lane-padded) feature block as an exact f32
+                # (ids < 2^24; a 1-lane HBM DMA is not tile-alignable, the pad
+                # lane is free, and maxing equal ids is a no-op), giving the
+                # VPU a vector view of the ids without a second block DMA.
+                # Rows of other tiles have different pids, so the sweep never
+                # mixes across the window.
+                v = feat_vmem[...]
+                p = v[:, c:c + 1]
+                row_idx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                d = 1
+                while d < chunk:
+                    same = (pltpu.roll(p, d, 0) == p) & (row_idx >= d)
+                    v = jnp.where(same, jnp.maximum(v, pltpu.roll(v, d, 0)), v)
+                    d *= 2
+                feat_vmem[...] = v
+
+                def body(j, _):
+                    i = c0 + j
+                    raw = pid_smem[j] - base
+                    ok = ((i >= start) & (i < end) & (raw >= 0) & (raw < rw)
+                          & (tail_smem[j] != 0))
+
+                    @pl.when(ok)
+                    def _store():
+                        # RMW max: chunk-boundary partial tails may store the
+                        # same pillar more than once
+                        out_ref[0, raw, :] = jnp.maximum(
+                            out_ref[0, raw, :], feat_vmem[j, :][:c]
+                        )
+
+                    return _
+
+                jax.lax.fori_loop(0, chunk, body, None)
+
+    return kernel
+
+
 def _make_kernel(n, rw, c, chunk):
     num_chunks = (n + chunk - 1) // chunk
 
@@ -203,6 +287,27 @@ def _bev_prereduced_fwd(feats_sorted, pids_sorted, h, w, interpret):
 bev_scatter_max_sorted_prereduced.defvjp(_bev_prereduced_fwd, _bev_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bev_scatter_max_sorted_fused(feats_sorted, pids_sorted, h, w, interpret=False):
+    """Fused pre-reduction: the segmented max runs inside the Pallas kernel
+    (log-sweep over each chunk's VMEM block) and only segment-tail rows are
+    folded into the BEV tile. Numerically identical to
+    :func:`bev_scatter_max_sorted`; fastest at realistic cloud occupancy
+    (>= ~4 points/pillar) and within noise of the per-point kernel on
+    near-unique pillar ids. Same feats >= 0 requirement (empty cells hold 0)
+    and tie-splitting VJP."""
+    out, _ = _bev_fused_fwd(feats_sorted, pids_sorted, h, w, interpret)
+    return out
+
+
+def _bev_fused_fwd(feats_sorted, pids_sorted, h, w, interpret):
+    out = _bev_scatter_max_fused_impl(feats_sorted, pids_sorted, h, w, interpret)
+    return out, (feats_sorted, pids_sorted, out)
+
+
+bev_scatter_max_sorted_fused.defvjp(_bev_fused_fwd, _bev_bwd)
+
+
 @partial(jax.jit, static_argnames=("h", "w", "interpret"))
 def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
     """Args:
@@ -314,6 +419,72 @@ def _bev_scatter_max_tails_impl(feats_sorted, pids_sorted, tails, h, w, interpre
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, pids_sorted.reshape(-1), tails.reshape(-1), feats_flat)
+    return out.reshape(b, h, w, c)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _bev_scatter_max_fused_impl(feats_sorted, pids_sorted, h, w, interpret=False):
+    """Same contract as :func:`_bev_scatter_max_impl`; the segment reduction
+    happens in-kernel (see ``_make_fused_kernel``)."""
+    b, n, c = feats_sorted.shape
+    chunk = CHUNK  # full chunks only: SMEM DMA slice alignment (see above)
+    if n % chunk:
+        pad_n = chunk - n % chunk
+        feats_sorted = jnp.pad(feats_sorted, ((0, 0), (0, pad_n), (0, 0)))
+        pids_sorted = jnp.pad(pids_sorted, ((0, 0), (0, pad_n)), constant_values=h * w)
+        n = n + pad_n
+    # tail rows: last row of each segment, plus a forced tail at every chunk
+    # boundary so cross-chunk segments contribute per-chunk partial maxima
+    nxt = jnp.pad(pids_sorted[:, 1:], ((0, 0), (0, 1)), constant_values=-1)
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    tails = ((pids_sorted != nxt) | (col % chunk == chunk - 1)).astype(jnp.int32)
+
+    rows_per_tile = max(1, min(32, 2 * 1024 * 1024 // max(w * c * 4, 1)))
+    while h % rows_per_tile != 0:
+        rows_per_tile -= 1
+    t = h // rows_per_tile
+    rw = rows_per_tile * w
+
+    # lane c carries the pillar id as f32 (see kernel docstring); always keep
+    # at least one pad lane free for it
+    c_pad = -(-(c + 1) // 128) * 128
+    boundaries = jnp.arange(t + 1, dtype=jnp.int32) * rw
+    starts = jax.vmap(lambda p: jnp.searchsorted(p, boundaries, side="left"))(
+        pids_sorted
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N,) ids in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N,) tail flags in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N, C+) feats in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rw, c), lambda bi, ti, s: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.VMEM((chunk, c_pad), feats_sorted.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    feats_flat = feats_sorted.reshape(b * n, c)
+    feats_flat = jnp.pad(feats_flat, ((0, 0), (0, c_pad - c)))
+    feats_flat = feats_flat.at[:, c].set(pids_sorted.reshape(-1).astype(feats_sorted.dtype))
+    out = pl.pallas_call(
+        _make_fused_kernel(n, rw, c, chunk),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), feats_sorted.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        starts,
+        pids_sorted.reshape(-1),
+        tails.reshape(-1),
+        feats_flat,
+    )
     return out.reshape(b, h, w, c)
 
 

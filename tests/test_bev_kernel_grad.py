@@ -89,3 +89,41 @@ def test_prereduced_matches_default():
     g_ref = jax.grad(loss_ref)(feats)
     g_pre = jax.grad(loss_pre)(feats)
     np.testing.assert_allclose(np.asarray(g_pre), np.asarray(g_ref), atol=1e-5)
+
+
+def test_fused_matches_default():
+    """bev_scatter_max_sorted_fused (in-kernel segmented sweep + tail stores)
+    == bev_scatter_max_sorted, with n spanning several chunks so segments
+    crossing chunk boundaries exercise the forced-tail partial stores."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcp_tpu.ops.pallas.bev_scatter import (
+        CHUNK, bev_scatter_max_sorted, bev_scatter_max_sorted_fused, use_interpret)
+
+    rng = np.random.default_rng(1)
+    b, c, h, w = 2, 8, 16, 16
+    n = 2 * CHUNK + 500  # forces padding + 3 chunks
+    # heavy occupancy: big runs that straddle chunk boundaries + singletons
+    pid = np.sort(np.concatenate([
+        np.repeat(rng.integers(0, h * w, n // 64), 48),
+        rng.integers(0, h * w, n),
+    ])[:n].reshape(1, n).repeat(b, 0), axis=1).astype(np.int32)
+    pid[:, -37:] = h * w  # padding run
+    feats = jnp.asarray(np.abs(rng.normal(size=(b, n, c))).astype(np.float32))
+    pids = jnp.asarray(pid)
+
+    interp = use_interpret()
+    ref = bev_scatter_max_sorted(feats, pids, h, w, interp)
+    got = bev_scatter_max_sorted_fused(feats, pids, h, w, interp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    def loss_ref(f):
+        return jnp.sum(bev_scatter_max_sorted(f, pids, h, w, interp) ** 2)
+
+    def loss_fused(f):
+        return jnp.sum(bev_scatter_max_sorted_fused(f, pids, h, w, interp) ** 2)
+
+    g_ref = jax.grad(loss_ref)(feats)
+    g_fused = jax.grad(loss_fused)(feats)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-5)

@@ -146,16 +146,21 @@ def decode_bbox_from_heatmap(
     k = min(k, h * w)
     scores, inds, class_ids, ys, xs = topk_heatmap(heatmap, k)
 
-    def gather_feat(feat):
-        c = feat.shape[-1]
-        flat = feat.reshape(b, h * w, c)
-        return jnp.take_along_axis(flat, inds[..., None], axis=1)  # (B, k, c)
-
-    center = gather_feat(center)
-    rot_sin = gather_feat(rot_sin)
-    rot_cos = gather_feat(rot_cos)
-    center_z = gather_feat(center_z)
-    dim = gather_feat(dim)
+    # ONE fused row-gather for every regression channel: row gathers on TPU
+    # pay per-row latency (~270 ns), so gathering 5 tensors separately costs
+    # 5x the rows of a single channel-concatenated gather
+    stacked = [center, rot_sin, rot_cos, center_z, dim]
+    if vel is not None:
+        stacked.append(vel)
+    widths = [f.shape[-1] for f in stacked]
+    flat = jnp.concatenate([f.reshape(b, h * w, f.shape[-1]) for f in stacked], axis=-1)
+    gathered = jnp.take_along_axis(flat, inds[..., None], axis=1)  # (B, k, sum_c)
+    offs = [0]
+    for wd in widths:
+        offs.append(offs[-1] + wd)
+    center, rot_sin, rot_cos, center_z, dim, *rest = (
+        gathered[..., offs[i]:offs[i + 1]] for i in range(len(widths))
+    )
 
     angle = jnp.arctan2(rot_sin, rot_cos)
     xs = xs[..., None] + center[..., 0:1]
@@ -165,7 +170,7 @@ def decode_bbox_from_heatmap(
 
     parts = [xs, ys, center_z, dim, angle]
     if vel is not None:
-        parts.append(gather_feat(vel))
+        parts.append(rest[0])
     boxes = jnp.concatenate(parts, axis=-1)
 
     valid = jnp.ones((b, k), dtype=bool)

@@ -54,6 +54,7 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
             lid: ExchangeDatabase(self.root_path / exch_dir) for lid in range(NUM_AGENTS)
         }
         self.exchange_with_rsu_only = bool(dataset_cfg.get("EXCHANGE_WITH_RSU_ONLY", False))
+        self._exchange_misses = 0
 
         if dataset_cfg.get("USE_GT_FROM_EVERY_AGENT", True):
             rng_limit = float(dataset_cfg.get("EVAL_FILTER_GT_BEYOND_RANGE", -1))
@@ -128,6 +129,17 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
         db = self.exchange_database[lidar_id]
         modar = db.load_modar(sample_token, lidar_id)
         if modar is None:
+            # a missing exchange file means that agent broadcast nothing for
+            # this keyframe — legitimate for the first async frame, but a
+            # SYSTEMATIC miss means the exchange DB was never generated for
+            # this split (the ego would silently train without MoDAR)
+            self._exchange_misses += 1
+            if self._exchange_misses == 50 and self.logger is not None:
+                self.logger.warning(
+                    "exchange database: 50 modar files missing so far "
+                    f"(e.g. token={sample_token} id={lidar_id}) — was the "
+                    "exchange DB generated for this split?"
+                )
             return None
         modar = modar.copy()
         if propagate:

@@ -21,6 +21,37 @@ class TestExchangeDatabase:
         assert db.size_bytes("tok", 2, "modar") > 0
 
 
+class TestGeneratorSplitCoverage:
+    def test_generator_covers_both_splits(self, tmp_path):
+        """The exchange DB generator must emit files for the TRAIN split, not
+        just val: town 3 (si%3==0) is val, towns 4/5 are train. A generator
+        that builds every split with training=False silently produces the val
+        scenes twice and the ego then trains without MoDAR (regression)."""
+        import importlib.util
+        from pathlib import Path
+
+        script = Path(__file__).resolve().parents[1] / "workspace/v2x_gen_exchange_database.py"
+        spec = importlib.util.spec_from_file_location("genx", script)
+        genx = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(genx)
+
+        out = tmp_path / "exch"
+        genx.gen_exchange_database(
+            agent="car", synthetic=True, out_dir=out, max_batches=2,
+            cfg_overrides={
+                "SYNTHETIC": {"NUM_SCENES": 4, "KEYFRAMES_PER_SCENE": 2,
+                              "NUM_CARS": 3, "NUM_PEDS": 0},
+                "MAX_POINTS_PER_SAMPLE": 2048,
+                "POINT_CLOUD_RANGE": [-12.8, -12.8, -8.0, 12.8, 12.8, 0.0],
+                "MINI_TRAINVAL_STRIDE": 1,
+                "DATASET_DOWNSAMPLING_RATIO": 1,
+            },
+        )
+        scenes = {int(f.name.split("_")[0][5:]) for f in out.glob("*_modar.npz")}
+        assert any(s % 3 != 0 for s in scenes), f"no TRAIN-split exchange files: {scenes}"
+        assert any(s % 3 == 0 for s in scenes), f"no val-split exchange files: {scenes}"
+
+
 class TestFlowPropagation:
     def test_modar_moves_by_twice_mean_flow(self, tmp_path, rng):
         """EGO dataset propagation: box center += 2 x mean flow of contained

@@ -56,14 +56,24 @@ def gen_exchange_database(agent="car", ckpt=None, synthetic=False, out_dir=None,
     first = True
     for split in splits:
         training = split == "train"
+        # build with training=<split> so include_v2x_sim_data loads THAT
+        # split's infos (DATA_SPLIT[mode]); then flip ds.training off so
+        # prepare_data behaves eval-like (no aug / no empty-gt resampling).
+        # Building both splits with training=False silently generated the
+        # val split twice and left the TRAIN split without exchange data —
+        # the ego then trained without MoDAR (missing files load as None).
         ds, loader, _ = build_dataloader(
             dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES, batch_size=2,
-            workers=2, logger=logger, training=False,
+            workers=2, logger=logger, training=training,
         )
+        ds.training = False
         if training:
-            # reference evaluates the model on BOTH splits in eval mode; our
-            # synthetic split selection happens through DATA_SPLIT
-            ds.training = False
+            # the train-split loader shuffles and drops the last ragged batch;
+            # generation must cover every sample exactly once
+            from pcp_tpu.datasets import DataLoader as _DL
+
+            loader = _DL(ds, batch_size=2, shuffle=False, seed=None,
+                         drop_last=False, num_workers=2)
         if first:
             if variables is None:
                 if ckpt is not None:

@@ -44,7 +44,9 @@ def main():
         cfg.MODEL["BF16"] = True
         rebuild = True
     if os.environ.get("BENCH_PRE_REDUCE"):
-        cfg.MODEL["VFE"]["PRE_REDUCE"] = True
+        # "1"/"true" -> XLA-scan pre-reduction; "fused" -> in-kernel sweep
+        v = os.environ["BENCH_PRE_REDUCE"]
+        cfg.MODEL["VFE"]["PRE_REDUCE"] = v if v.lower() == "fused" else True
         rebuild = True
     if rebuild:
         from pcp_tpu.models import build_network

@@ -109,6 +109,7 @@ class DynamicPillarVFE(nn.Module):
 
     def _forward_sorted(self, batch, train=False):
         from ...ops.pallas.bev_scatter import (bev_scatter_max_sorted,
+                                               bev_scatter_max_sorted_fused,
                                                bev_scatter_max_sorted_prereduced,
                                                use_interpret)
         from ...ops.sorted_segments import segment_total_to_points, sort_by_pid
@@ -174,8 +175,13 @@ class DynamicPillarVFE(nn.Module):
         final = jnp.where(valid_s[..., None], pooled_pts, 0.0)
         # PRE_REDUCE: segmented-scan fold + tail-only stores — wins at real
         # cloud occupancy (>= ~4 points/pillar); the default per-point kernel
-        # wins on near-unique pillar ids
-        if bool(self.model_cfg.get("PRE_REDUCE", False)):
+        # wins on near-unique pillar ids. 'fused' runs the segment reduction
+        # inside the Pallas kernel (no XLA-side 64-channel scan).
+        pre_reduce = self.model_cfg.get("PRE_REDUCE", False)
+        if isinstance(pre_reduce, str) and pre_reduce.lower() == "fused":
+            bev = bev_scatter_max_sorted_fused(
+                final, pid_s, ny, nx, interpret=use_interpret())
+        elif bool(pre_reduce):
             bev = bev_scatter_max_sorted_prereduced(
                 final, pid_s, ny, nx, interpret=use_interpret())
         else:

@@ -7,7 +7,7 @@ from pcp_tpu.config import CfgDict
 from pcp_tpu.models.vfe.dynamic_pillar_vfe import DynamicPillarVFE
 
 
-def make_vfe(use_sorted, num_feats=5):
+def make_vfe(use_sorted, num_feats=5, pre_reduce=False):
     cfg = CfgDict(
         {
             "NUM_RAW_POINT_FEATURES": num_feats,
@@ -15,6 +15,7 @@ def make_vfe(use_sorted, num_feats=5):
             "USE_ABSLOTE_XYZ": True,
             "USE_NORM": True,
             "NUM_FILTERS": [64, 64],
+            "PRE_REDUCE": pre_reduce,
         }
     )
     return DynamicPillarVFE(
@@ -62,6 +63,34 @@ class TestSortedVFE:
         bb = np.asarray(out_b["pillar_features"])
         np.testing.assert_allclose(a, bb, rtol=1e-4, atol=1e-4)
         assert np.abs(a).sum() > 0
+
+    @pytest.mark.parametrize("pre_reduce", [True, "fused"])
+    def test_pre_reduce_matches_default(self, rng, pre_reduce):
+        """MODEL.VFE.PRE_REDUCE (XLA-scan fold / in-kernel fused sweep) must
+        reproduce the default per-point kernel exactly."""
+        b, n = 2, 2048
+        pts = rng.uniform(-12.5, 12.5, size=(b, n, 5)).astype(np.float32)
+        pts[..., 2] = rng.uniform(-3, -0.5, size=(b, n))
+        # duplicate runs so segments have realistic multi-point occupancy
+        pts[:, n // 2:, 0:2] = pts[:, : n // 2, 0:2]
+        mask = np.ones((b, n), dtype=bool)
+        mask[:, -100:] = False
+        batch = {
+            "points": jnp.asarray(pts),
+            "points_mask": jnp.asarray(mask),
+            "batch_size": b,
+        }
+        vfe_default = make_vfe(True)
+        vfe_pre = make_vfe(True, pre_reduce=pre_reduce)
+        variables = vfe_default.init(jax.random.PRNGKey(0), batch, train=False)
+        out_a = vfe_default.apply(variables, batch, train=False)
+        out_b = vfe_pre.apply(variables, batch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_a["pillar_features"]),
+            np.asarray(out_b["pillar_features"]),
+            rtol=1e-5,
+            atol=1e-5,
+        )
 
     def test_empty_cloud(self, rng):
         b, n = 1, 512

@@ -55,17 +55,32 @@ def measure_lately(cfg_overrides=None, max_samples=32):
     return float(np.mean(sizes)) / 1e6 if sizes else 0.0
 
 
-def measure_mid(compressed_channels=128, bev_hw=128, num_other_agents=5):
-    # each non-ego agent broadcasts its compressed BEV tensor
-    per_agent = bev_hw * bev_hw * compressed_channels * 4
-    return num_other_agents * per_agent / 1e6
+def measure_mid(bev_channels=384, bev_hw=128):
+    # reference protocol (measure_exchange_size.py:60-72): average bytes of ONE
+    # agent's broadcast bev_img tensor — the BEVMaker backbone output
+    # (384 ch at stride-4 128x128 -> 25.17 MB, matching ref README.md:52's
+    # 25.16); compression to 128 ch happens ego-side inside the fusion module
+    return bev_hw * bev_hw * bev_channels * 4 / 1e6
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--set", dest="set_pairs", nargs="*", default=[],
+                        help="DATA_CONFIG key/value override pairs (literal-eval), "
+                             "e.g. --set SYNTHETIC \"{'WORLD': 'urban'}\"")
     args = parser.parse_args()
-    overrides = {"USE_SYNTHETIC_DATA": True} if args.synthetic else None
+    overrides = {"USE_SYNTHETIC_DATA": True} if args.synthetic else {}
+    if args.set_pairs:
+        import ast
+
+        assert len(args.set_pairs) % 2 == 0, "--set takes key value pairs"
+        for k, v in zip(args.set_pairs[::2], args.set_pairs[1::2]):
+            try:
+                overrides[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                overrides[k] = v
+    overrides = overrides or None
     print(f"early fusion:  {measure_early(overrides):.3f} MB/sample")
     print(f"lately fusion: {measure_lately(overrides):.4f} MB/sample")
     print(f"mid (Disco):   {measure_mid():.2f} MB/sample")

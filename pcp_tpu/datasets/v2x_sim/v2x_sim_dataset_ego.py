@@ -125,8 +125,25 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
         return [i for i in ids if i != EGO_LIDAR_ID]
 
     def _load_and_propagate_modar(self, sample_token, lidar_id, propagate=True):
-        """MoDAR boxes + scene-flow propagation (:196-215). Returns (N, 9)."""
+        """MoDAR boxes + scene-flow propagation (:196-215).
+
+        Prefers the ``boxflow`` wire format (12 floats/box: the sender pools
+        its foreground flow per box — identical propagation math at
+        late-fusion bandwidth); falls back to receiver-side pooling over the
+        full foreground broadcast for legacy databases.
+
+        Returns ``(modar (N, 9), n_foreground_broadcast)`` — the foreground
+        count feeds the bandwidth measurement (0 under boxflow; the broadcast
+        is then modar rows x 12 floats, workspace/measure_exchange_size.py)."""
         db = self.exchange_database[lidar_id]
+        boxflow = db.load_boxflow(sample_token, lidar_id)
+        if boxflow is not None:
+            modar = boxflow[:, :9].copy()
+            if propagate and modar.shape[0]:
+                # one-step constant-velocity: keyframe dt is half the flow
+                # horizon, hence the x2.0 (ref v2x_sim_dataset_ego.py:196-215)
+                modar[:, :3] += boxflow[:, 9:12] * 2.0
+            return modar, 0
         modar = db.load_modar(sample_token, lidar_id)
         if modar is None:
             # a missing exchange file means that agent broadcast nothing for
@@ -140,11 +157,13 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
                     f"(e.g. token={sample_token} id={lidar_id}) — was the "
                     "exchange DB generated for this split?"
                 )
-            return None
+            return None, 0
         modar = modar.copy()
+        n_fg = 0
         if propagate:
             foregr = db.load_foreground(sample_token, lidar_id)
             if foregr is not None and foregr.shape[0] > 0 and modar.shape[0] > 0:
+                n_fg = int(foregr.shape[0])
                 box_idx = _points_in_boxes_np(foregr[:, :3], modar[:, :7])
                 valid = box_idx > -1
                 if valid.any():
@@ -152,7 +171,7 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
                     for b in np.unique(bi):
                         offset = fg[bi == b, -3:].mean(axis=0) * 2.0
                         modar[b, :3] += offset
-        return modar
+        return modar, n_fg
 
     def __getitem__(self, index):
         if self._merge_all_iters_to_one_epoch:
@@ -197,11 +216,12 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
                 lidar_id = int(lidar_name.split("_")[-1])
                 if lidar_id == EGO_LIDAR_ID or lidar_id not in self._exchange_agent_ids():
                     continue
-                modar = self._load_and_propagate_modar(
+                modar, n_fg = self._load_and_propagate_modar(
                     exch_token, lidar_id, propagate=use_prev and self.flow_propagation
                 )
                 if modar is None or modar.shape[0] == 0:
                     continue
+                exchange_metadata[lidar_id][0] = float(n_fg)
                 target_se3_lidar = target_se3_glob @ self.source.get_pose(lidar_token)
                 modar[:, :7] = apply_se3(target_se3_lidar, boxes=modar[:, :7])
 

@@ -51,7 +51,7 @@ class V2XSimDataset_EGO_LATE(V2XSimDataset_EGO):
                 lidar_id = int(lidar_name.split("_")[-1])
                 if lidar_id == EGO_LIDAR_ID:
                     continue
-                modar = self._load_and_propagate_modar(
+                modar, _ = self._load_and_propagate_modar(
                     exch_token, lidar_id,
                     propagate=(setting == "prev") and self.flow_propagation,
                 )

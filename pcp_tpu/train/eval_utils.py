@@ -124,6 +124,8 @@ def make_exchange_writer(exchange_db, bg_prob_thresh=0.3):
     (center_head.py:409-427 MoDAR; hunter_jr.py:377-397 foreground)."""
 
     def writer(batch, out):
+        from ..exchange.database import pool_box_flow
+
         fbd = {k: np.asarray(v) for k, v in out["final_box_dicts"].items()}
         points = np.asarray(batch["points"])
         pmask = np.asarray(batch["points_mask"])
@@ -133,6 +135,7 @@ def make_exchange_writer(exchange_db, bg_prob_thresh=0.3):
         for i, meta in enumerate(batch["metadata"]):
             token, lid = meta["sample_token"], int(meta["lidar_id"])
             valid = fbd["pred_valid"][i]
+            modar = None
             if valid.any():
                 modar = np.concatenate(
                     [
@@ -143,6 +146,7 @@ def make_exchange_writer(exchange_db, bg_prob_thresh=0.3):
                     axis=1,
                 )
                 exchange_db.save_modar(token, lid, modar)
+            fg = None
             if cls_prob is not None:
                 send = (cls_prob[i][:, 0] < bg_prob_thresh) & pmask[i]
                 if send.any():
@@ -150,5 +154,10 @@ def make_exchange_writer(exchange_db, bg_prob_thresh=0.3):
                         [points[i][send][:, :7], cls_prob[i][send], flow[i][send]], axis=1
                     )
                     exchange_db.save_foreground(token, lid, fg)
+            if modar is not None:
+                # bandwidth-optimal broadcast: sender pools its foreground
+                # flow per box (12 floats/box ~= late-fusion bandwidth);
+                # readers prefer this over receiver-side pooling
+                exchange_db.save_boxflow(token, lid, pool_box_flow(modar, fg))
 
     return writer

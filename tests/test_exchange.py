@@ -67,12 +67,24 @@ class TestFlowPropagation:
         fg[:, -3:] = [1.0, 0.5, 0.0]  # uniform flow
         db.save_modar("tokX", 2, box)
         db.save_foreground("tokX", 2, fg)
-        out = ds._load_and_propagate_modar("tokX", 2, propagate=True)
+        out, n_fg = ds._load_and_propagate_modar("tokX", 2, propagate=True)
+        assert n_fg == 8
         np.testing.assert_allclose(out[0, :3], box[0, :3] + 2 * np.array([1.0, 0.5, 0.0]),
                                    rtol=1e-5, atol=1e-5)
         # without propagation the box is unchanged
-        out2 = ds._load_and_propagate_modar("tokX", 2, propagate=False)
+        out2, _ = ds._load_and_propagate_modar("tokX", 2, propagate=False)
         np.testing.assert_allclose(out2[0, :3], box[0, :3])
+
+        # boxflow wire format (sender-side pooling) must propagate identically
+        # and report zero foreground broadcast
+        from pcp_tpu.exchange.database import pool_box_flow
+
+        db.save_boxflow("tokX", 2, pool_box_flow(box, fg))
+        out3, n_fg3 = ds._load_and_propagate_modar("tokX", 2, propagate=True)
+        assert n_fg3 == 0
+        np.testing.assert_allclose(out3, out, rtol=1e-5, atol=1e-5)
+        out4, _ = ds._load_and_propagate_modar("tokX", 2, propagate=False)
+        np.testing.assert_allclose(out4[0, :3], box[0, :3])
 
     def test_points_outside_box_ignored(self, tmp_path, rng):
         cfg = load_data_cfg("v2x_sim_dataset_ego")
@@ -86,5 +98,5 @@ class TestFlowPropagation:
         fg[:, -3:] = 100.0
         db.save_modar("tokY", 3, box)
         db.save_foreground("tokY", 3, fg)
-        out = ds._load_and_propagate_modar("tokY", 3, propagate=True)
+        out, _ = ds._load_and_propagate_modar("tokY", 3, propagate=True)
         np.testing.assert_allclose(out[0, :3], box[0, :3])

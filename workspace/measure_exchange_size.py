@@ -45,14 +45,24 @@ def measure_lately(cfg_overrides=None, max_samples=32):
         cfg.DATA_CONFIG.update(cfg_overrides)
     ds, loader, _ = build_dataloader(cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1,
                                      training=False, logger=create_logger(), workers=0)
-    sizes = []
+    sizes_late, sizes_lately = [], []
     for i, batch in enumerate(loader):
         meta = batch["metadata"][0]
+        n_fg = sum(v[0] for v in meta["exchange"].values())
         n_modar = sum(v[1] for v in meta["exchange"].values())
-        sizes.append(n_modar * 9 * 4)  # 9 float32 per MoDAR row
+        # late fusion broadcasts only the boxes (9 float32/row). lately:
+        # under the boxflow wire format (n_fg == 0) each box carries its
+        # pooled flow (12 floats/row); a legacy database ships the full
+        # foreground point set (13 float32/row, hunter_jr.py:377-397)
+        sizes_late.append(n_modar * 9 * 4)
+        if n_fg == 0:
+            sizes_lately.append(n_modar * 12 * 4)
+        else:
+            sizes_lately.append(n_modar * 9 * 4 + n_fg * 13 * 4)
         if i + 1 >= max_samples:
             break
-    return float(np.mean(sizes)) / 1e6 if sizes else 0.0
+    mb = lambda s: float(np.mean(s)) / 1e6 if s else 0.0
+    return mb(sizes_late), mb(sizes_lately)
 
 
 def measure_mid(bev_channels=384, bev_hw=128):
@@ -81,6 +91,8 @@ if __name__ == "__main__":
             except (ValueError, SyntaxError):
                 overrides[k] = v
     overrides = overrides or None
+    late_mb, lately_mb = measure_lately(overrides)
     print(f"early fusion:  {measure_early(overrides):.3f} MB/sample")
-    print(f"lately fusion: {measure_lately(overrides):.4f} MB/sample")
+    print(f"late fusion:   {late_mb:.4f} MB/sample")
+    print(f"lately fusion: {lately_mb:.4f} MB/sample")
     print(f"mid (Disco):   {measure_mid():.2f} MB/sample")

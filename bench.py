@@ -78,10 +78,12 @@ def main():
     batch0 = {"points": jnp.asarray(pts[0]), "points_mask": mask, "batch_size": BATCH}
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt:
-        # trained weights give a realistic detection/NMS occupancy profile
+        # trained weights give a realistic detection/NMS occupancy profile.
+        # device_put: orbax restores host numpy arrays — passing those into
+        # the jit re-uploads ~20 MB of params through the tunnel every call
         from pcp_tpu.train.checkpoint import load_params_from_file
 
-        variables = load_params_from_file(ckpt)
+        variables = jax.device_put(load_params_from_file(ckpt))
     else:
         variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
 

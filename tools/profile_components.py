@@ -139,6 +139,41 @@ def main():
         f = jax.jit(lambda x: bb.apply(v, {"spatial_features": x, "batch_size": BATCH}, train=False)["spatial_features_2d"])
         timed(f, [(jnp.asarray(bev[i]),) for i in range(2)], "BEV backbone 512x512x64")
 
+    if "backbone_bf16" in stages:
+        from pcp_tpu.config import CfgDict, cfg_from_yaml_file
+        from pcp_tpu.models.backbones_2d.base_bev_backbone import BaseBEVBackbone
+
+        cfg = CfgDict()
+        cfg_from_yaml_file("tools/cfgs/v2x_sim_models/v2x_pointpillar_basic_ego.yaml", cfg)
+        cfg.MODEL.BACKBONE_2D["BF16"] = True
+        bb = BaseBEVBackbone(model_cfg=cfg.MODEL.BACKBONE_2D, input_channels=64)
+        bev = rng.normal(0, 1, size=(2, BATCH, GRID, GRID, 64)).astype(np.float32)
+        v = bb.init(jax.random.PRNGKey(0), {"spatial_features": jnp.asarray(bev[0]), "batch_size": BATCH}, train=False)
+        f = jax.jit(lambda x: bb.apply(v, {"spatial_features": x, "batch_size": BATCH}, train=False)["spatial_features_2d"])
+        timed(f, [(jnp.asarray(bev[i]),) for i in range(2)], "BEV backbone 512x512x64 bf16")
+
+    if "headconv_bf16" in stages:
+        from pcp_tpu.config import CfgDict, cfg_from_yaml_file
+        from pcp_tpu.models.dense_heads.center_head import CenterHead
+
+        cfg = CfgDict()
+        cfg_from_yaml_file("tools/cfgs/v2x_sim_models/v2x_pointpillar_basic_ego.yaml", cfg)
+        cfg.MODEL.DENSE_HEAD["BF16"] = True
+        head = CenterHead(
+            model_cfg=cfg.MODEL.DENSE_HEAD,
+            input_channels=384,
+            num_class=1,
+            class_names=["car"],
+            grid_size=(GRID, GRID, 1),
+            point_cloud_range=(-51.2, -51.2, -8.0, 51.2, 51.2, 0.0),
+            voxel_size=(0.2, 0.2, 8.0),
+        )
+        feat = rng.normal(0, 1, size=(2, BATCH, GRID // 4, GRID // 4, 384)).astype(np.float32)
+        batch0 = {"spatial_features_2d": jnp.asarray(feat[0]), "batch_size": BATCH}
+        v = head.init(jax.random.PRNGKey(0), batch0, train=False)
+        f = jax.jit(lambda x: head.apply(v, {"spatial_features_2d": x, "batch_size": BATCH}, train=False)["final_box_dicts"]["pred_scores"])
+        timed(f, [(jnp.asarray(feat[i]),) for i in range(2)], "CenterHead full bf16")
+
     if "headconv" in stages or "decode" in stages or "nms" in stages:
         from pcp_tpu.config import CfgDict, cfg_from_yaml_file
         from pcp_tpu.models.dense_heads.center_head import CenterHead

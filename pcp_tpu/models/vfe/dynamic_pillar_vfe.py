@@ -110,6 +110,7 @@ class DynamicPillarVFE(nn.Module):
     def _forward_sorted(self, batch, train=False):
         from ...ops.pallas.bev_scatter import (bev_scatter_max_sorted,
                                                bev_scatter_max_sorted_fused,
+                                               bev_scatter_max_sorted_onehot,
                                                bev_scatter_max_sorted_prereduced,
                                                use_interpret)
         from ...ops.sorted_segments import segment_total_to_points, sort_by_pid
@@ -178,7 +179,12 @@ class DynamicPillarVFE(nn.Module):
         # wins on near-unique pillar ids. 'fused' runs the segment reduction
         # inside the Pallas kernel (no XLA-side 64-channel scan).
         pre_reduce = self.model_cfg.get("PRE_REDUCE", False)
-        if isinstance(pre_reduce, str) and pre_reduce.lower() == "fused":
+        if isinstance(pre_reduce, str) and pre_reduce.lower() == "onehot":
+            # MXU one-hot placement: no serial scalar walk at all (~2^-24
+            # relative value rounding from the 3-way bf16 split)
+            bev = bev_scatter_max_sorted_onehot(
+                final, pid_s, ny, nx, interpret=use_interpret())
+        elif isinstance(pre_reduce, str) and pre_reduce.lower() == "fused":
             bev = bev_scatter_max_sorted_fused(
                 final, pid_s, ny, nx, interpret=use_interpret())
         elif bool(pre_reduce):

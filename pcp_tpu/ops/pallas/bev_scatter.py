@@ -253,6 +253,91 @@ def _make_runs_kernel(n, rw, c, chunk):
     return kernel
 
 
+def _make_onehot_kernel(n, rw, c, chunk):
+    """One-hot matmul placement: ZERO serial scalar work. The per-point walk
+    variants above cost ~23 cycles/point on the scalar core (the kernel floor
+    ROADMAP documents); this variant replaces the walk entirely:
+
+      * the chunk-local segmented max sweep (log2(chunk) vectorized shift
+        steps, as in ``_make_fused_kernel``) leaves every segment-TAIL row
+        carrying its chunk-local max, so each BEV cell has AT MOST ONE
+        contributing row per chunk;
+      * placement therefore equals ``onehot(cell_ids).T @ masked_rows`` — a
+        single MXU matmul per chunk (sum over a one-hot column IS the unique
+        contributor), max-accumulated into the tile across chunks (segments
+        spanning chunk boundaries contribute per-chunk partial maxima via the
+        forced last-row tail, exactly like the fused variant);
+      * values ride the matmul as a 3-way bf16 split (hi/mid/lo, 24 mantissa
+        bits), recovering f32 to ~2^-24 relative — the one-hot side is exact
+        in bf16, and with one contributor per cell there is no summation
+        rounding at all.
+
+    The pillar id rides lane ``c`` of the 128-lane-padded feature block as an
+    exact f32 (ids < 2^24), so the kernel needs NO SMEM and no scalar reads;
+    chunk DMAs run under a dynamic fori over only the tile's chunk range.
+    """
+    num_chunks = (n + chunk - 1) // chunk
+    del num_chunks
+
+    def kernel(starts_ref, feats_hbm, out_ref, feat_vmem, dma_sem):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        base = t * rw
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        start = starts_ref[b, t]
+        end = starts_ref[b, t + 1]
+
+        def body(k, _):
+            c0 = k * chunk
+            cp = pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(b * n + c0, chunk), :], feat_vmem, dma_sem.at[0]
+            )
+            cp.start()
+            cp.wait()
+            v = feat_vmem[...]  # (chunk, 128) f32; lane c carries the pid
+            p = v[:, c:c + 1]
+            row_idx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+            d = 1
+            while d < chunk:
+                same = (pltpu.roll(p, d, 0) == p) & (row_idx >= d)
+                v = jnp.where(same, jnp.maximum(v, pltpu.roll(v, d, 0)), v)
+                d *= 2
+            # tails: segment's last row within the chunk (wrap row at
+            # chunk-1 is forced — its roll neighbour is row 0's pid)
+            nxtp = pltpu.roll(p, chunk - 1, 0)
+            tail = (p != nxtp) | (row_idx == chunk - 1)
+            gi = row_idx + c0
+            local = p - base.astype(jnp.float32)
+            valid = (tail & (gi >= start) & (gi < end)
+                     & (local >= 0) & (local < rw))
+            vals = jnp.where(valid, v[:, :c], 0.0)
+            hi = vals.astype(jnp.bfloat16)
+            r1 = vals - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            m3 = jnp.concatenate([hi, mid, lo], axis=1)  # (chunk, 3c) bf16
+            # integer compare (Mosaic iota is int-only; the f32->i32 cast is
+            # exact for ids < 2^24, negatives clamp below any valid cell)
+            cell = jax.lax.broadcasted_iota(jnp.int32, (chunk, rw), 1)
+            li = jnp.where(valid, local, -1.0).astype(jnp.int32)
+            oh = (li == cell).astype(jnp.bfloat16)
+            res = jax.lax.dot_general(
+                oh, m3, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)  # (rw, 3c)
+            res = res[:, :c] + res[:, c:2 * c] + res[:, 2 * c:]
+            out_ref[0, :, :] = jnp.maximum(out_ref[0, :, :], res)
+            return _
+
+        k_lo = start // chunk
+        k_hi = (end + chunk - 1) // chunk
+        jax.lax.fori_loop(k_lo, k_hi, body, None)
+
+    return kernel
+
+
 def _make_kernel(n, rw, c, chunk):
     num_chunks = (n + chunk - 1) // chunk
 
@@ -400,6 +485,44 @@ def _bev_fused_fwd(feats_sorted, pids_sorted, h, w, interpret):
 bev_scatter_max_sorted_fused.defvjp(_bev_fused_fwd, _bev_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bev_scatter_max_sorted_onehot(feats_sorted, pids_sorted, h, w, interpret=False):
+    """One-hot-matmul placement (see ``_make_onehot_kernel``): the serial
+    per-point scalar walk disappears entirely — the MXU places each segment
+    max via ``onehot.T @ rows``. Matches :func:`bev_scatter_max_sorted` to
+    ~2^-24 relative (3-way bf16 value split; the placement itself is exact).
+    Same feats >= 0 requirement and tie-splitting VJP."""
+    out, _ = _bev_onehot_fwd(feats_sorted, pids_sorted, h, w, interpret)
+    return out
+
+
+def _bev_onehot_fwd(feats_sorted, pids_sorted, h, w, interpret):
+    out = _bev_scatter_max_onehot_impl(feats_sorted, pids_sorted, h, w, interpret)
+    return out, (feats_sorted, pids_sorted, out)
+
+
+def _bev_onehot_bwd(h, w, interpret, res, g):
+    feats, pids, out = res
+    # the forward's ~2^-24 value rounding can break exact equality between a
+    # point's feature and its cell max; match with a relative tolerance so
+    # the true argmax still receives the cotangent
+    b, n, c = feats.shape
+    flat_out = out.reshape(b, h * w, c)
+    flat_g = g.reshape(b, h * w, c)
+    safe_pid = jnp.clip(pids, 0, h * w - 1)[..., None]
+    cell_max = jnp.take_along_axis(flat_out, safe_pid, axis=1)
+    cell_g = jnp.take_along_axis(flat_g, safe_pid, axis=1)
+    tol = 1e-6 * jnp.abs(cell_max) + 1e-30
+    is_max = (jnp.abs(feats - cell_max) <= tol) & (pids < h * w)[..., None]
+    from ..sorted_segments import segment_total_to_points
+
+    ties = segment_total_to_points(is_max.astype(feats.dtype), pids, jnp.add)
+    return (jnp.where(is_max, cell_g / jnp.maximum(ties, 1.0), 0.0), None)
+
+
+bev_scatter_max_sorted_onehot.defvjp(_bev_onehot_fwd, _bev_onehot_bwd)
+
+
 @partial(jax.jit, static_argnames=("h", "w", "interpret"))
 def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
     """Args:
@@ -457,6 +580,63 @@ def _bev_scatter_max_impl(feats_sorted, pids_sorted, h, w, interpret=False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, pids_sorted.reshape(-1), feats_flat)
+    return out.reshape(b, h, w, c)
+
+
+# one-hot variant tunables (microbenched on v5e, see tools/bench_scatter_kernel.py)
+ONEHOT_CHUNK = 256
+ONEHOT_ROWS = 2
+
+
+@partial(jax.jit, static_argnames=("h", "w", "interpret", "chunk", "rows"))
+def _bev_scatter_max_onehot_impl(feats_sorted, pids_sorted, h, w, interpret=False,
+                                 chunk=None, rows=None):
+    """Same contract as :func:`_bev_scatter_max_impl`; MXU one-hot placement
+    (see ``_make_onehot_kernel``). ``chunk``/``rows`` are microbench knobs."""
+    chunk = chunk or ONEHOT_CHUNK
+    rows = rows or ONEHOT_ROWS
+    b, n, c = feats_sorted.shape
+    if n % chunk:
+        pad_n = chunk - n % chunk
+        feats_sorted = jnp.pad(feats_sorted, ((0, 0), (0, pad_n), (0, 0)))
+        pids_sorted = jnp.pad(pids_sorted, ((0, 0), (0, pad_n)), constant_values=h * w)
+        n = n + pad_n
+    rows_per_tile = rows
+    while h % rows_per_tile != 0:
+        rows_per_tile -= 1
+    t = h // rows_per_tile
+    rw = rows_per_tile * w
+
+    # lane c carries the pillar id as f32 (exact: ids < 2^24) — no SMEM path
+    c_pad = -(-(c + 1) // 128) * 128
+    boundaries = jnp.arange(t + 1, dtype=jnp.int32) * rw
+    starts = jax.vmap(lambda p: jnp.searchsorted(p, boundaries, side="left"))(
+        pids_sorted
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # flat (B*N, C+) feats in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rw, c), lambda bi, ti, s: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, c_pad), feats_sorted.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    feats_flat = feats_sorted.reshape(b * n, c)
+    feats_flat = jnp.pad(feats_flat, ((0, 0), (0, c_pad - c)))
+    feats_flat = feats_flat.at[:, c].set(pids_sorted.reshape(-1).astype(feats_sorted.dtype))
+    out = pl.pallas_call(
+        _make_onehot_kernel(n, rw, c, chunk),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), feats_sorted.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, feats_flat)
     return out.reshape(b, h, w, c)
 
 

@@ -127,3 +127,42 @@ def test_fused_matches_default():
     g_ref = jax.grad(loss_ref)(feats)
     g_fused = jax.grad(loss_fused)(feats)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-5)
+
+
+def test_onehot_matches_default():
+    """bev_scatter_max_sorted_onehot (MXU one-hot placement, in-kernel sweep,
+    3-way bf16 value split) == bev_scatter_max_sorted to ~2^-24 relative,
+    with segments straddling the ONEHOT_CHUNK boundary (forced-tail partial
+    maxima combined across chunk iterations) and a padding run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcp_tpu.ops.pallas.bev_scatter import (
+        ONEHOT_CHUNK, bev_scatter_max_sorted, bev_scatter_max_sorted_onehot,
+        use_interpret)
+
+    rng = np.random.default_rng(3)
+    b, c, h, w = 1, 8, 8, 16
+    n = 2 * ONEHOT_CHUNK + 100  # padding + segments across chunk boundaries
+    pid = np.sort(np.concatenate([
+        np.repeat(rng.integers(0, h * w, n // 64), 48),
+        rng.integers(0, h * w, n),
+    ])[:n].reshape(1, n).repeat(b, 0), axis=1).astype(np.int32)
+    pid[:, -23:] = h * w  # padding run
+    feats = jnp.asarray(np.abs(rng.normal(size=(b, n, c))).astype(np.float32))
+    pids = jnp.asarray(pid)
+
+    interp = use_interpret()
+    ref = bev_scatter_max_sorted(feats, pids, h, w, interp)
+    got = bev_scatter_max_sorted_onehot(feats, pids, h, w, interp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    def loss_ref(f):
+        return jnp.sum(bev_scatter_max_sorted(f, pids, h, w, interp) ** 2)
+
+    def loss_oh(f):
+        return jnp.sum(bev_scatter_max_sorted_onehot(f, pids, h, w, interp) ** 2)
+
+    g_ref = jax.grad(loss_ref)(feats)
+    g_oh = jax.grad(loss_oh)(feats)
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ref), atol=1e-5)

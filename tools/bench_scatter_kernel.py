@@ -13,8 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from pcp_tpu.ops.pallas.bev_scatter import (
+    _bev_scatter_max_onehot_impl,
     bev_scatter_max_sorted,
     bev_scatter_max_sorted_fused,
+    bev_scatter_max_sorted_onehot,
     bev_scatter_max_sorted_prereduced,
 )
 
@@ -51,9 +53,17 @@ for occ in ("clustered", "realistic"):
     got = np.asarray(bev_scatter_max_sorted_fused(feats, pid, H, W, False))
     np.testing.assert_allclose(got, ref, atol=1e-6)
     print(f"[{occ}] parity ok")
+    got = np.asarray(bev_scatter_max_sorted_onehot(feats, pid, H, W, False))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    print(f"[{occ}] onehot parity ok")
     for name, fn in (
         ("per-point RMW", bev_scatter_max_sorted),
         ("prereduced   ", bev_scatter_max_sorted_prereduced),
         ("fused        ", bev_scatter_max_sorted_fused),
+        ("onehot       ", bev_scatter_max_sorted_onehot),
     ):
         print(f"[{occ}] {name}: {timeit(fn, feats, pid):7.2f} ms")
+    for chunk, rows in ((128, 1), (128, 2), (256, 1), (256, 2), (256, 4), (512, 2), (512, 4)):
+        fn = lambda f, p, h, w, i: _bev_scatter_max_onehot_impl(
+            f, p, h, w, i, chunk=chunk, rows=rows)
+        print(f"[{occ}] onehot c{chunk} r{rows}: {timeit(fn, feats, pid):7.2f} ms")

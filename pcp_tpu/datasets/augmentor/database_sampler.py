@@ -37,6 +37,18 @@ class DataBaseSampler:
                     if cur_class in infos:
                         self.db_infos[cur_class].extend(infos[cur_class])
 
+        # integrated database (reference database_sampler.py:398-402): one
+        # resident .npy sliced by each info's global_data_offset, produced by
+        # gt_database.create_integrated_database
+        self.gt_database_data = None
+        db_data_path = sampler_cfg.get("DB_DATA_PATH", [])
+        if db_data_path:
+            path = self.root_path / db_data_path[0]
+            if path.exists():
+                self.gt_database_data = np.load(str(path), mmap_mode="r")
+            elif logger is not None:
+                logger.warning(f"integrated gt database missing: {path}")
+
         for func_name, val in sampler_cfg.get("PREPARE", {}).items():
             self.db_infos = getattr(self, func_name)(self.db_infos, val)
 
@@ -92,12 +104,16 @@ class DataBaseSampler:
             group["sample_num"] = num_to_sample
             sampled = self.sample_with_fixed_number(class_name, sample_group)
             for info in sampled:
-                file_path = self.root_path / info["path"]
-                if not file_path.exists():
-                    continue
-                obj_points = np.fromfile(str(file_path), dtype=np.float32).reshape(
-                    -1, self.sampler_cfg.get("NUM_POINT_FEATURES", 4)
-                )
+                if self.gt_database_data is not None and "global_data_offset" in info:
+                    start, end = info["global_data_offset"]
+                    obj_points = np.array(self.gt_database_data[start:end], dtype=np.float32)
+                else:
+                    file_path = self.root_path / info["path"]
+                    if not file_path.exists():
+                        continue
+                    obj_points = np.fromfile(str(file_path), dtype=np.float32).reshape(
+                        -1, self.sampler_cfg.get("NUM_POINT_FEATURES", 4)
+                    )
                 obj_points[:, :3] += info["box3d_lidar"][:3]
                 sampled_boxes_list.append(info["box3d_lidar"])
                 sampled_points_list.append(obj_points)

@@ -133,10 +133,23 @@ class CustomDataset(DatasetTemplate):
         return infos
 
 
-def create_custom_infos(dataset_cfg, class_names, data_path, save_path):
+    def create_groundtruth_database(self, info_path=None, used_classes=None, split="train"):
+        """GT-paste database producer (reference custom_dataset.py:167-219)."""
+        from ..augmentor.gt_database import create_groundtruth_database
+
+        with open(info_path, "rb") as f:
+            infos = pickle.load(f)
+        return create_groundtruth_database(
+            infos, self.get_lidar, self.root_path, "custom",
+            used_classes=used_classes, split=split, logger=self.logger,
+        )
+
+
+def create_custom_infos(dataset_cfg, class_names, data_path, save_path, with_gt_database=True):
     """Reference custom_dataset.py:233-263."""
     dataset = CustomDataset.__new__(CustomDataset)
     DatasetTemplate.__init__(dataset, dataset_cfg, class_names, False, data_path, None)
+    dataset.logger = None
     for split in ("train", "val"):
         ids_file = Path(data_path) / "ImageSets" / f"{split}.txt"
         if not ids_file.exists():
@@ -147,3 +160,5 @@ def create_custom_infos(dataset_cfg, class_names, data_path, save_path):
         with open(out, "wb") as f:
             pickle.dump(infos, f)
         print(f"custom infos {split}: {len(infos)} -> {out}")
+        if split == "train" and with_gt_database:
+            dataset.create_groundtruth_database(info_path=out, split=split)

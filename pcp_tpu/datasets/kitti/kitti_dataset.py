@@ -210,6 +210,15 @@ class KittiDataset(DatasetTemplate):
                     "rotation_y": np.array([float(o[14]) for o in objs]),
                     "score": np.array([float(o[15]) if len(o) > 15 else -1.0 for o in objs]),
                 }
+                # KITTI difficulty levels (object3d_kitti.get_kitti_obj_level):
+                # bbox height / occlusion / truncation thresholds
+                bb_h = annos["bbox"][:, 3] - annos["bbox"][:, 1]
+                occ, trunc = annos["occluded"], annos["truncated"]
+                difficulty = np.full(len(objs), -1, dtype=np.int32)
+                difficulty[(bb_h >= 25) & (occ <= 2) & (trunc <= 0.50)] = 2
+                difficulty[(bb_h >= 25) & (occ <= 1) & (trunc <= 0.30)] = 1
+                difficulty[(bb_h >= 40) & (occ <= 0) & (trunc <= 0.15)] = 0
+                annos["difficulty"] = difficulty
                 num_objects = int((annos["name"] != "DontCare").sum())
                 annos["index"] = np.concatenate(
                     [np.arange(num_objects), -np.ones(len(objs) - num_objects)]).astype(np.int32)
@@ -232,10 +241,25 @@ class KittiDataset(DatasetTemplate):
         return infos
 
 
-def create_kitti_infos(dataset_cfg, class_names, data_path, save_path):
-    """Reference kitti_dataset.py:431-469 (train/val/trainval/test pkls)."""
+    def create_groundtruth_database(self, info_path=None, used_classes=None, split="train"):
+        """GT-paste database producer (reference kitti_dataset.py:224-275):
+        one box-centered .bin per object + kitti_dbinfos_{split}.pkl."""
+        from ..augmentor.gt_database import create_groundtruth_database
+
+        with open(info_path, "rb") as f:
+            infos = pickle.load(f)
+        return create_groundtruth_database(
+            infos, self.get_lidar, self.root_path, "kitti",
+            used_classes=used_classes, split=split, logger=self.logger,
+        )
+
+
+def create_kitti_infos(dataset_cfg, class_names, data_path, save_path, with_gt_database=True):
+    """Reference kitti_dataset.py:431-469 (train/val/trainval/test pkls +
+    the train gt database)."""
     dataset = KittiDataset.__new__(KittiDataset)
     DatasetTemplate.__init__(dataset, dataset_cfg, class_names, False, data_path, None)
+    dataset.logger = None
     for split, has_label in (("train", True), ("val", True), ("test", False)):
         dataset.split = split
         dataset.root_split_path = Path(data_path) / ("training" if split != "test" else "testing")
@@ -248,3 +272,5 @@ def create_kitti_infos(dataset_cfg, class_names, data_path, save_path):
         with open(out, "wb") as f:
             pickle.dump(infos, f)
         print(f"KITTI infos {split}: {len(infos)} -> {out}")
+        if split == "train" and with_gt_database:
+            dataset.create_groundtruth_database(info_path=out, split=split)

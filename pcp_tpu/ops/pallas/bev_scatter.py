@@ -418,7 +418,13 @@ def _bev_fwd(feats_sorted, pids_sorted, h, w, interpret):
     return out, (feats_sorted, pids_sorted, out)
 
 
-def _bev_bwd(h, w, interpret, res, g):
+def _bev_bwd_impl(h, w, res, g, rtol=0.0):
+    """Shared tie-splitting VJP for all scatter-max variants.
+
+    ``rtol=0`` matches a point's feature to its cell max exactly (bit-exact
+    forwards); the one-hot forward rounds values by ~2^-24 (3-way bf16
+    split), so its VJP passes ``rtol`` just above that rounding error to let
+    the true argmax still receive the cotangent — and nothing else."""
     feats, pids, out = res
     b, n, c = feats.shape
     flat_out = out.reshape(b, h * w, c)
@@ -426,7 +432,11 @@ def _bev_bwd(h, w, interpret, res, g):
     safe_pid = jnp.clip(pids, 0, h * w - 1)[..., None]
     cell_max = jnp.take_along_axis(flat_out, safe_pid, axis=1)
     cell_g = jnp.take_along_axis(flat_g, safe_pid, axis=1)
-    is_max = (feats == cell_max) & (pids < h * w)[..., None]
+    if rtol:
+        tol = rtol * jnp.abs(cell_max) + 1e-30
+        is_max = (jnp.abs(feats - cell_max) <= tol) & (pids < h * w)[..., None]
+    else:
+        is_max = (feats == cell_max) & (pids < h * w)[..., None]
     # split the cotangent across ties so the per-cell gradient weights sum to
     # 1 (ties at 0.0 are common post-ReLU; routing the full cotangent to every
     # tied point would overcount). pids are sorted, so the tie count is a
@@ -435,6 +445,10 @@ def _bev_bwd(h, w, interpret, res, g):
 
     ties = segment_total_to_points(is_max.astype(feats.dtype), pids, jnp.add)
     return (jnp.where(is_max, cell_g / jnp.maximum(ties, 1.0), 0.0), None)
+
+
+def _bev_bwd(h, w, interpret, res, g):
+    return _bev_bwd_impl(h, w, res, g, rtol=0.0)
 
 
 bev_scatter_max_sorted.defvjp(_bev_fwd, _bev_bwd)
@@ -502,22 +516,10 @@ def _bev_onehot_fwd(feats_sorted, pids_sorted, h, w, interpret):
 
 
 def _bev_onehot_bwd(h, w, interpret, res, g):
-    feats, pids, out = res
-    # the forward's ~2^-24 value rounding can break exact equality between a
-    # point's feature and its cell max; match with a relative tolerance so
-    # the true argmax still receives the cotangent
-    b, n, c = feats.shape
-    flat_out = out.reshape(b, h * w, c)
-    flat_g = g.reshape(b, h * w, c)
-    safe_pid = jnp.clip(pids, 0, h * w - 1)[..., None]
-    cell_max = jnp.take_along_axis(flat_out, safe_pid, axis=1)
-    cell_g = jnp.take_along_axis(flat_g, safe_pid, axis=1)
-    tol = 1e-6 * jnp.abs(cell_max) + 1e-30
-    is_max = (jnp.abs(feats - cell_max) <= tol) & (pids < h * w)[..., None]
-    from ..sorted_segments import segment_total_to_points
-
-    ties = segment_total_to_points(is_max.astype(feats.dtype), pids, jnp.add)
-    return (jnp.where(is_max, cell_g / jnp.maximum(ties, 1.0), 0.0), None)
+    # rtol just above the forward's ~2^-24 (~6e-8) rounding: 2^-23 covers the
+    # bf16-split error without letting distinct non-max points share the
+    # cotangent (ADVICE r3: 1e-6 was ~17x looser than the rounding it covers)
+    return _bev_bwd_impl(h, w, res, g, rtol=1.2e-7)
 
 
 bev_scatter_max_sorted_onehot.defvjp(_bev_onehot_fwd, _bev_onehot_bwd)
@@ -595,6 +597,9 @@ def _bev_scatter_max_onehot_impl(feats_sorted, pids_sorted, h, w, interpret=Fals
     (see ``_make_onehot_kernel``). ``chunk``/``rows`` are microbench knobs."""
     chunk = chunk or ONEHOT_CHUNK
     rows = rows or ONEHOT_ROWS
+    # pillar ids ride an f32 lane (and cast f32->i32 in-kernel): exact only
+    # for ids < 2^24 — fail loudly instead of corrupting placement
+    assert h * w < 1 << 24, f"grid {h}x{w} overflows the f32 pillar-id lane (>= 2^24)"
     b, n, c = feats_sorted.shape
     if n % chunk:
         pad_n = chunk - n % chunk
@@ -751,6 +756,8 @@ def _bev_scatter_max_tails_impl(feats_sorted, pids_sorted, tails, h, w, interpre
 def _bev_scatter_max_fused_impl(feats_sorted, pids_sorted, h, w, interpret=False):
     """Same contract as :func:`_bev_scatter_max_impl`; the segment reduction
     happens in-kernel (see ``_make_fused_kernel``)."""
+    # pillar ids ride an f32 lane in-kernel: exact only for ids < 2^24
+    assert h * w < 1 << 24, f"grid {h}x{w} overflows the f32 pillar-id lane (>= 2^24)"
     b, n, c = feats_sorted.shape
     chunk = CHUNK  # full chunks only: SMEM DMA slice alignment (see above)
     if n % chunk:

@@ -66,4 +66,7 @@ for occ in ("clustered", "realistic"):
     for chunk, rows in ((128, 1), (128, 2), (256, 1), (256, 2), (256, 4), (512, 2), (512, 4)):
         fn = lambda f, p, h, w, i: _bev_scatter_max_onehot_impl(
             f, p, h, w, i, chunk=chunk, rows=rows)
+        # parity at THESE knobs before timing: a combination that miscompiles
+        # must not look like a valid tuning candidate
+        np.testing.assert_allclose(np.asarray(fn(feats, pid, H, W, False)), ref, atol=2e-6)
         print(f"[{occ}] onehot c{chunk} r{rows}: {timeit(fn, feats, pid):7.2f} ms")

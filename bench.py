@@ -53,7 +53,9 @@ def main():
         model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset_info=info)
 
     rng = np.random.default_rng(0)
-    occupancy = os.environ.get("BENCH_OCCUPANCY", "clustered")
+    # default = the HARDER input profile (VERDICT r3 weak #3: the committed
+    # evidence should be the honest number, not the bench-friendly one)
+    occupancy = os.environ.get("BENCH_OCCUPANCY", "realistic")
     pts = np.zeros((ITERS, BATCH, NPOINTS, info.num_point_features), dtype=np.float32)
     if occupancy == "realistic":
         # real-cloud pillar occupancy: ~4k occupied pillars/sample at ~8
@@ -77,6 +79,13 @@ def main():
     mask = jnp.ones((BATCH, NPOINTS), dtype=bool)
     batch0 = {"points": jnp.asarray(pts[0]), "points_mask": mask, "batch_size": BATCH}
     ckpt = os.environ.get("BENCH_CKPT")
+    if not ckpt:
+        # committed trained checkpoint (results/bench_ckpt): realistic
+        # detection/NMS occupancy by default rather than random-init heads
+        default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "results", "bench_ckpt")
+        if os.path.isdir(default_ckpt):
+            ckpt = default_ckpt
     if ckpt:
         # trained weights give a realistic detection/NMS occupancy profile.
         # device_put: orbax restores host numpy arrays — passing those into
@@ -128,7 +137,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"point-clouds/sec/chip (voxelize->detect->NMS, b8 n32768, 512x512 grid, {occupancy})",
+                "metric": (
+                    "point-clouds/sec/chip (voxelize->detect->NMS, b8 n32768, "
+                    f"512x512 grid, {occupancy}, "
+                    f"{'trained ckpt' if ckpt else 'random init'})"
+                ),
                 "value": round(pcs, 1),
                 "unit": "clouds/s",
                 "vs_baseline": round(pcs / BASELINE_REF_PCS, 2),

@@ -54,6 +54,21 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
             lid: ExchangeDatabase(self.root_path / exch_dir) for lid in range(NUM_AGENTS)
         }
         self.exchange_with_rsu_only = bool(dataset_cfg.get("EXCHANGE_WITH_RSU_ONLY", False))
+        # ablation levers (no reference counterpart; used to decompose the
+        # lately-vs-early gap and the async degradation, README results):
+        #   EXCHANGE_ORACLE      — senders broadcast their GT boxes (score 1,
+        #                          exact constant-velocity flow): upper-bounds
+        #                          lately fusion given perfect sender detectors
+        #   EXCHANGE_ORACLE_FLOW — predicted boxes keep their scores but the
+        #                          pooled flow is replaced by the matched GT
+        #                          velocity: isolates flow-prediction error
+        #                          from box/matching error in the async rows
+        #   EXCHANGE_DROPOUT     — p(drop each agent's broadcast) during
+        #                          training: robustness to missing agents
+        self.exchange_oracle = bool(dataset_cfg.get("EXCHANGE_ORACLE", False))
+        self.exchange_oracle_flow = bool(dataset_cfg.get("EXCHANGE_ORACLE_FLOW", False))
+        self.exchange_dropout = float(dataset_cfg.get("EXCHANGE_DROPOUT", 0.0))
+        self._exchange_rng = np.random.default_rng(12345)
         self._exchange_misses = 0
 
         if dataset_cfg.get("USE_GT_FROM_EVERY_AGENT", True):
@@ -124,7 +139,61 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
         ids = [0] if self.exchange_with_rsu_only else [i for i in range(NUM_AGENTS)]
         return [i for i in ids if i != EGO_LIDAR_ID]
 
-    def _load_and_propagate_modar(self, sample_token, lidar_id, propagate=True):
+    def _oracle_boxflow(self, lidar_token):
+        """(N, 12) boxflow rows from the sender's GT at that keyframe: box7,
+        score=1, 1-based label, exact half-keyframe constant-velocity flow
+        (the x2.0 propagation then advances boxes by exactly v * KEYFRAME_DT)."""
+        frame = self.source.get_frame(
+            lidar_token,
+            classes_of_interest=tuple(self.class_names),
+            threshold_boxes_by_points=1,
+        )
+        boxes = frame["boxes"]
+        n = boxes.shape[0]
+        out = np.zeros((n, 12))
+        if n:
+            out[:, :7] = boxes[:, :7]
+            out[:, 7] = 1.0
+            name_to_label = {name: i + 1 for i, name in enumerate(self.class_names)}
+            out[:, 8] = [name_to_label.get(nm, 1) for nm in frame["names"]]
+            out[:, 9:12] = (boxes[:, :3] - frame["prev_boxes"][:, :3]) / 2.0
+        return out
+
+    def _load_and_propagate_modar(self, sample_token, lidar_id, propagate=True,
+                                  lidar_token=None):
+        if self.exchange_oracle and lidar_token is not None:
+            boxflow = self._oracle_boxflow(lidar_token)
+            modar = boxflow[:, :9].copy()
+            if propagate and modar.shape[0]:
+                modar[:, :3] += boxflow[:, 9:12] * 2.0
+            return modar, 0
+        if self.exchange_oracle_flow and lidar_token is not None:
+            modar = self._predicted_modar_with_oracle_flow(
+                sample_token, lidar_id, lidar_token, propagate)
+            return modar, 0
+        return self._load_and_propagate_modar_pred(sample_token, lidar_id, propagate)
+
+    def _predicted_modar_with_oracle_flow(self, sample_token, lidar_id, lidar_token,
+                                          propagate):
+        """Predicted boxes, GT flow: each modar box takes the constant-velocity
+        flow of the nearest GT center within 2 m (else stays put)."""
+        db = self.exchange_database[lidar_id]
+        modar = db.load_boxflow(sample_token, lidar_id)
+        modar = modar[:, :9].copy() if modar is not None else db.load_modar(sample_token, lidar_id)
+        if modar is None:
+            return None
+        modar = np.asarray(modar)[:, :9].copy()
+        if propagate and modar.shape[0]:
+            gt = self._oracle_boxflow(lidar_token)
+            if gt.shape[0]:
+                d = np.linalg.norm(
+                    modar[:, None, :2] - gt[None, :, :2], axis=-1)  # (M, G)
+                j = d.argmin(axis=1)
+                matched = d[np.arange(modar.shape[0]), j] < 2.0
+                modar[matched, :3] += gt[j[matched], 9:12] * 2.0
+        return modar
+
+    def _load_and_propagate_modar_pred(self, sample_token, lidar_id, propagate=True):
         """MoDAR boxes + scene-flow propagation (:196-215).
 
         Prefers the ``boxflow`` wire format (12 floats/box: the sender pools
@@ -216,8 +285,15 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
                 lidar_id = int(lidar_name.split("_")[-1])
                 if lidar_id == EGO_LIDAR_ID or lidar_id not in self._exchange_agent_ids():
                     continue
+                if (
+                    self.training
+                    and self.exchange_dropout > 0.0
+                    and self._exchange_rng.random() < self.exchange_dropout
+                ):
+                    continue
                 modar, n_fg = self._load_and_propagate_modar(
-                    exch_token, lidar_id, propagate=use_prev and self.flow_propagation
+                    exch_token, lidar_id, propagate=use_prev and self.flow_propagation,
+                    lidar_token=lidar_token,
                 )
                 if modar is None or modar.shape[0] == 0:
                     continue

@@ -54,6 +54,7 @@ class V2XSimDataset_EGO_LATE(V2XSimDataset_EGO):
                 modar, _ = self._load_and_propagate_modar(
                     exch_token, lidar_id,
                     propagate=(setting == "prev") and self.flow_propagation,
+                    lidar_token=lidar_token,
                 )
                 if modar is None:
                     modar = np.zeros((0, 9))

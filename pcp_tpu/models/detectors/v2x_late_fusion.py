@@ -38,7 +38,7 @@ class V2XLateFusion:
 
         for i, meta in enumerate(batch["metadata"]):
             exchange = meta["exchange_boxes"]
-            if method == "nms":
+            if method in ("nms", "weighted_nms"):
                 stacks = [bx for bx in exchange.values() if bx.shape[0] > 0]
                 if not stacks:
                     continue
@@ -49,8 +49,20 @@ class V2XLateFusion:
                     continue
                 pre = np.argsort(-boxes[:, -2])[: int(nms_cfg["NMS_PRE_MAXSIZE"])]
                 boxes = boxes[pre]
-                sel = nms_bev_np(boxes[:, :7], boxes[:, -2], float(nms_cfg["NMS_THRESH"]))
-                sel = sel[:post_max]
+                if method == "weighted_nms":
+                    # score-weighted box averaging over each NMS cluster:
+                    # exchanged duplicates of one object vote on its geometry
+                    # (reduces TP error of stale/offset sender boxes)
+                    from ...utils.nms_np import weighted_nms_bev_np
+
+                    fused, sel = weighted_nms_bev_np(
+                        boxes[:, :7], boxes[:, -2], float(nms_cfg["NMS_THRESH"]))
+                    sel = sel[:post_max]
+                    boxes = boxes.copy()
+                    boxes[sel, :7] = fused[: len(sel)]
+                else:
+                    sel = nms_bev_np(boxes[:, :7], boxes[:, -2], float(nms_cfg["NMS_THRESH"]))
+                    sel = sel[:post_max]
             elif method == "ego_only":
                 boxes = exchange.get(1, np.zeros((0, 9)))
                 sel = np.arange(min(boxes.shape[0], post_max))

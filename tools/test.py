@@ -116,6 +116,15 @@ def eval_single_ckpt(model, test_set, test_loader, args, cfg_, eval_dir, logger,
     )
     logger.info("\n" + result_str)
     logger.info(f"result_dict: {result_dict}")
+    # machine-readable metrics next to the eval log: the committed experiment
+    # artifacts (results/{tag}/) are exported from these (VERDICT r3 missing #3)
+    try:
+        import json
+
+        with open(Path(eval_dir) / "metrics.json", "w") as f:
+            json.dump({k: float(v) for k, v in result_dict.items()}, f, indent=1)
+    except (TypeError, ValueError, OSError) as e:
+        logger.warning(f"metrics.json not written: {e}")
     return result_dict
 
 

@@ -1,33 +1,57 @@
 """Collect the synthetic-world experiment results into one table.
 
-Usage: python workspace/collect_results.py [tag]   (default: synurb)
+Usage:
+    python workspace/collect_results.py [tag]            # print markdown table
+    python workspace/collect_results.py [tag] --export   # + write results/{tag}/
+                                                          # (tracked artifacts)
 
-Reads the newest eval log under every ``eval/<eval_tag>/`` directory produced
-by workspace/synth_experiments.sh and prints the README markdown table with
-sync AND async columns (the reference table shape, README.md:44-54) plus the
-flow-propagation ablation rows.
+Reads ``metrics.json`` (fallback: the newest eval log) under every
+``eval/<eval_tag>/`` directory produced by workspace/synth_experiments.sh and
+prints the README markdown table with sync AND async columns (the reference
+table shape, README.md:44-54), the flow-propagation ablation, the oracle
+(sender-GT) exchange ablation, the weighted-NMS late-fusion variant, and the
+DiscoNet matched-/cross-training cells.
+
+``--export`` copies each row's metrics.json + eval log (+ the train log where
+one exists) into ``results/{tag}/{row}/`` and writes ``matrix.md`` /
+``matrix.json`` — the committed, independently verifiable provenance of the
+README numbers (reference output-tree pattern: tools/train.py:91-94).
 """
+import json
 import re
+import shutil
 import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
-TAG = sys.argv[1] if len(sys.argv) > 1 else "synurb"
+args = [a for a in sys.argv[1:] if not a.startswith("-")]
+TAG = args[0] if args else "synurb"
+EXPORT = "--export" in sys.argv
 
-# label -> (cfg, train_tag, {column: eval_tag})
+# label -> (cfg, {column: (train_tag, eval_tag)})
 MATRIX = [
     ("single-agent ego (no collaboration)", "v2x_pointpillar_basic_ego",
      {"sync": (TAG + "_nocollab", "single"), "async": None}),
     ("late fusion", "v2x_late_fusion",
      {"sync": (TAG, "late_sync"), "async": (TAG, "late_async"),
       "async w/o flow": (TAG, "late_async_noflow")}),
-    ("mid fusion (DiscoNet)", "v2x_pointpillar_disco",
-     {"sync": (TAG, "disco_sync"), "async": (TAG, "disco_async")}),
+    ("late fusion (weighted box fusion)", "v2x_late_fusion",
+     {"sync": (TAG, "late_sync_wnms"), "async": (TAG, "late_async_wnms")}),
+    ("late fusion (oracle flow)", "v2x_late_fusion",
+     {"sync": None, "async": (TAG, "late_async_oracleflow")}),
+    ("mid fusion (DiscoNet, matched train)", "v2x_pointpillar_disco",
+     {"sync": (TAG + "_dsync", "disco_sync"), "async": (TAG, "disco_async")}),
+    ("mid fusion (DiscoNet, cross: async-trained@sync / sync-trained@async)",
+     "v2x_pointpillar_disco",
+     {"sync": (TAG, "disco_xsync"), "async": (TAG + "_dsync", "disco_xasync")}),
     ("early fusion", "v2x_pointpillar_basic_ego_early",
      {"sync": (TAG + "_sync", "early_sync"), "async": (TAG + "_async", "early_async")}),
     ("lately fusion (MoDAR, ours)", "v2x_pointpillar_basic_ego",
      {"sync": (TAG, "lately_sync"), "async": (TAG, "lately_async"),
       "async w/o flow": (TAG, "lately_async_noflow")}),
+    ("lately fusion (oracle senders)", "v2x_pointpillar_basic_ego",
+     {"sync": (TAG + "_oracle", "lately_oracle_sync"),
+      "async": (TAG + "_oracle", "lately_oracle_async")}),
 ]
 EXTRA = [
     ("per-agent car detector (own-view GT — not comparable to rows above)",
@@ -35,18 +59,28 @@ EXTRA = [
 ]
 
 
-def read_results(cfg, train_tag, eval_tag):
+def _eval_dir(cfg, train_tag, eval_tag):
     d = ROOT / "output/cfgs/v2x_sim_models" / cfg / train_tag / "eval"
-    if eval_tag and eval_tag != "default":
-        d = d / eval_tag
+    return d / eval_tag if eval_tag and eval_tag != "default" else d
+
+
+def read_results(cfg, train_tag, eval_tag):
+    """(mAP, NDS, recall@0.3) or None."""
+    d = _eval_dir(cfg, train_tag, eval_tag)
+    mj = d / "metrics.json"
+    if mj.exists():
+        with open(mj) as f:
+            m = json.load(f)
+        return (m.get("mAP", float("nan")), m.get("NDS", float("nan")),
+                m.get("recall/rcnn_0.3", float("nan")))
     logs = sorted(d.glob("log_eval_*.txt"))
     if not logs:
         return None
     text = logs[-1].read_text()
-    m = re.findall(r"result_dict: ({.*})", text)
-    if not m:
+    mm = re.findall(r"result_dict: ({.*})", text)
+    if not mm:
         return None
-    dd = m[-1]
+    dd = mm[-1]
     map_ = re.search(r"'mAP': (?:np\.float64\()?([0-9.eE+-]+)", dd)
     nds = re.search(r"'NDS': (?:np\.float64\()?([0-9.eE+-]+)", dd)
     rec = re.search(r"'recall/rcnn_0\.3': (?:np\.float64\()?([0-9.eE+-]+)", dd)
@@ -57,24 +91,61 @@ def fmt(r):
     return "—" if r is None else f"{100*r[0]:.1f}"
 
 
+def _export_row(out_root, cfg, train_tag, eval_tag):
+    d = _eval_dir(cfg, train_tag, eval_tag)
+    if not d.exists():
+        return
+    dst = out_root / f"{cfg}__{train_tag}__{eval_tag}"
+    dst.mkdir(parents=True, exist_ok=True)
+    for f in list(d.glob("metrics.json")) + sorted(d.glob("log_eval_*.txt"))[-1:]:
+        shutil.copy2(f, dst / f.name)
+    train_dir = ROOT / "output/cfgs/v2x_sim_models" / cfg / train_tag
+    for f in sorted(train_dir.glob("log_train_*.txt"))[-1:]:
+        shutil.copy2(f, dst / f.name)
+    for f in train_dir.glob("*.yaml"):  # the exact config the run used
+        shutil.copy2(f, dst / f.name)
+
+
 def main():
-    print("| collab method | sync mAP | async mAP | async w/o flow | NDS[ATE,ASE,AOE] (sync) | recall@0.3 (sync) |")
-    print("|---|---|---|---|---|---|")
+    lines = ["| collab method | sync mAP | async mAP | async w/o flow | NDS[ATE,ASE,AOE] (sync) | recall@0.3 (sync) |",
+             "|---|---|---|---|---|---|"]
+    table = {}
     for label, cfg, cols in MATRIX:
         res = {}
         for col, spec in cols.items():
             res[col] = read_results(cfg, spec[0], spec[1]) if spec else None
+        table[label] = {
+            c: (None if r is None else {"mAP": r[0], "NDS": r[1], "recall_0.3": r[2]})
+            for c, r in res.items()
+        }
         sync = res.get("sync")
-        print(f"| {label} | {fmt(sync)} | {fmt(res.get('async'))} | "
-              f"{fmt(res.get('async w/o flow'))} | "
-              f"{'—' if sync is None else f'{100*sync[1]:.1f}'} | "
-              f"{'—' if sync is None else f'{sync[2]:.2f}'} |")
+        any_nds = sync or res.get("async")
+        lines.append(
+            f"| {label} | {fmt(sync)} | {fmt(res.get('async'))} | "
+            f"{fmt(res.get('async w/o flow'))} | "
+            f"{'—' if sync is None else f'{100*sync[1]:.1f}'} | "
+            f"{'—' if sync is None else f'{sync[2]:.2f}'} |")
+    print("\n".join(lines))
     print()
     for label, cfg, (tag, etag) in EXTRA:
         r = read_results(cfg, tag, etag)
         if r is not None:
             print(f"{label}: mAP {100*r[0]:.1f}, NDS[ATE,ASE,AOE] {100*r[1]:.1f}, "
                   f"recall@0.3 {r[2]:.2f}")
+
+    if EXPORT:
+        out_root = ROOT / "results" / TAG
+        out_root.mkdir(parents=True, exist_ok=True)
+        for label, cfg, cols in MATRIX:
+            for col, spec in cols.items():
+                if spec:
+                    _export_row(out_root, cfg, spec[0], spec[1])
+        for label, cfg, (tag, etag) in EXTRA:
+            _export_row(out_root, cfg, tag, etag)
+        (out_root / "matrix.md").write_text("\n".join(lines) + "\n")
+        with open(out_root / "matrix.json", "w") as f:
+            json.dump(table, f, indent=1)
+        print(f"\nexported -> {out_root}")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,9 @@ MATRIX = [
     ("lately fusion (oracle senders)", "v2x_pointpillar_basic_ego",
      {"sync": (TAG + "_oracle", "lately_oracle_sync"),
       "async": (TAG + "_oracle", "lately_oracle_async")}),
+    ("lately fusion (loose broadcast: thresh 0.03, 200 boxes)", "v2x_pointpillar_basic_ego",
+     {"sync": (TAG + "_loose", "lately_loose_sync"),
+      "async": (TAG + "_loose", "lately_loose_async")}),
 ]
 EXTRA = [
     ("per-agent car detector (own-view GT — not comparable to rows above)",

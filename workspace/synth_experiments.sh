@@ -75,6 +75,31 @@ run_stage train_ego python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic
   --batch_size 4 --epochs $EPOCHS_EGO --extra_tag $TAG --num_epochs_to_eval 0 \
   --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1
 
+# lately with ORACLE senders (GT boxes + exact constant-velocity flow):
+# upper-bounds lately fusion given perfect sender detectors — decides whether
+# the lately-vs-early gap is sender-recall or world-inherent (VERDICT r4 #1)
+run_stage train_ego_oracle python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego.yaml \
+  --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_oracle --num_epochs_to_eval 0 \
+  --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 DATA_CONFIG.EXCHANGE_ORACLE True
+
+# lately with a LOOSE broadcast (sender score threshold 0.03, up to 200
+# boxes/frame): the practical sender-recall lever — the ego sees the score
+# channel and learns to discount low-confidence MoDAR
+run_stage gen_exchange_loose_car python workspace/v2x_gen_exchange_database.py --agent car \
+  --ckpt "$(ckpt_of v2x_pointpillar_basic_car $TAG)" --synthetic \
+  --out_dir data/v2x-sim/v2.0-trainval/exchange_database_loose \
+  --broadcast_score_thresh 0.03 --broadcast_post_max 200 \
+  --set MAX_POINTS_PER_SAMPLE "$NPTS" SYNTHETIC "$SYN" MINI_TRAINVAL_STRIDE 1
+run_stage gen_exchange_loose_rsu python workspace/v2x_gen_exchange_database.py --agent rsu \
+  --ckpt "$(ckpt_of v2x_pointpillar_basic_rsu $TAG)" --synthetic \
+  --out_dir data/v2x-sim/v2.0-trainval/exchange_database_loose \
+  --broadcast_score_thresh 0.03 --broadcast_post_max 200 \
+  --set MAX_POINTS_PER_SAMPLE "$NPTS" SYNTHETIC "$SYN" MINI_TRAINVAL_STRIDE 1
+run_stage train_ego_loose python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego.yaml \
+  --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_loose --num_epochs_to_eval 0 \
+  --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 \
+  DATA_CONFIG.EXCHANGE_DATABASE_DIRECTORY exchange_database_loose
+
 # early fusion: matched train/eval settings for each latency column
 run_stage train_early_sync python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego_early.yaml \
   --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_sync --num_epochs_to_eval 0 \
@@ -89,13 +114,20 @@ run_stage train_single python tools/train.py --cfg_file $CFGS/v2x_pointpillar_ba
   --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_nocollab --num_epochs_to_eval 0 \
   --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 DATA_CONFIG.EXCHANGE_MODAR False
 
-# mid fusion (DiscoNet): frozen BEVMakers from the trained car/rsu/early models
+# mid fusion (DiscoNet): frozen BEVMakers from the trained car/rsu/early
+# models. Matched-training per latency column (same treatment as early
+# fusion): an async-trained net learns to lead moving targets by ~v*dt and
+# misplaces them when evaluated on fresh exchange (VERDICT r4 #2)
+disco_common=("${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1)
+disco_makers=(MODEL.BEV_MAKER_RSU.CKPT "$(ckpt_of v2x_pointpillar_basic_rsu $TAG)"
+  MODEL.BEV_MAKER_CAR.CKPT "$(ckpt_of v2x_pointpillar_basic_car $TAG)"
+  MODEL.BEV_MAKER_EARLY.CKPT "$(ckpt_of v2x_pointpillar_basic_ego_early ${TAG}_sync)")
 run_stage train_disco python tools/train.py --cfg_file $CFGS/v2x_pointpillar_disco.yaml \
   --batch_size 4 --epochs $EPOCHS_EGO --extra_tag $TAG --num_epochs_to_eval 0 \
-  --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 \
-  MODEL.BEV_MAKER_RSU.CKPT "$(ckpt_of v2x_pointpillar_basic_rsu $TAG)" \
-  MODEL.BEV_MAKER_CAR.CKPT "$(ckpt_of v2x_pointpillar_basic_car $TAG)" \
-  MODEL.BEV_MAKER_EARLY.CKPT "$(ckpt_of v2x_pointpillar_basic_ego_early ${TAG}_sync)"
+  --set "${disco_common[@]}" DATA_CONFIG.EXCHANGE_PREVIOUS True "${disco_makers[@]}"
+run_stage train_disco_sync python tools/train.py --cfg_file $CFGS/v2x_pointpillar_disco.yaml \
+  --batch_size 4 --epochs $EPOCHS_EGO --extra_tag ${TAG}_dsync --num_epochs_to_eval 0 \
+  --set "${disco_common[@]}" DATA_CONFIG.EXCHANGE_PREVIOUS False "${disco_makers[@]}"
 
 # ---- 4. evaluate everything (precise-BN stats are baked; no --bn_recal) -----
 ev() {  # ev <stagename> <cfg> <tag> [extra --set pairs...]
@@ -114,12 +146,25 @@ ev single v2x_pointpillar_basic_ego "${TAG}_nocollab" DATA_CONFIG.EXCHANGE_MODAR
 ev lately_sync v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_NOW True
 ev lately_async v2x_pointpillar_basic_ego "$TAG"
 ev lately_async_noflow v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_FLOW_PROPAGATION False
+# lately with oracle senders: the sender-recall upper bound
+ev lately_oracle_sync v2x_pointpillar_basic_ego "${TAG}_oracle" \
+  DATA_CONFIG.EXCHANGE_ORACLE True DATA_CONFIG.EXCHANGE_NOW True
+ev lately_oracle_async v2x_pointpillar_basic_ego "${TAG}_oracle" DATA_CONFIG.EXCHANGE_ORACLE True
+# lately with the loose broadcast
+ev lately_loose_sync v2x_pointpillar_basic_ego "${TAG}_loose" DATA_CONFIG.EXCHANGE_NOW True \
+  DATA_CONFIG.EXCHANGE_DATABASE_DIRECTORY exchange_database_loose
+ev lately_loose_async v2x_pointpillar_basic_ego "${TAG}_loose" \
+  DATA_CONFIG.EXCHANGE_DATABASE_DIRECTORY exchange_database_loose
 # early fusion: matched models per column
 ev early_sync v2x_pointpillar_basic_ego_early "${TAG}_sync" DATA_CONFIG.EXCHANGE_PREVIOUS False
 ev early_async v2x_pointpillar_basic_ego_early "${TAG}_async" DATA_CONFIG.EXCHANGE_PREVIOUS True
-# mid fusion DiscoNet: sync / async
-ev disco_sync v2x_pointpillar_disco "$TAG" DATA_CONFIG.EXCHANGE_PREVIOUS False
+# mid fusion DiscoNet: matched train/eval per column + the cross cells
+# (async-trained@sync, sync-trained@async) that expose the lead-compensation
+# mechanism behind round-3's inverted sync row
+ev disco_sync v2x_pointpillar_disco "${TAG}_dsync" DATA_CONFIG.EXCHANGE_PREVIOUS False
 ev disco_async v2x_pointpillar_disco "$TAG" DATA_CONFIG.EXCHANGE_PREVIOUS True
+ev disco_xsync v2x_pointpillar_disco "$TAG" DATA_CONFIG.EXCHANGE_PREVIOUS False
+ev disco_xasync v2x_pointpillar_disco "${TAG}_dsync" DATA_CONFIG.EXCHANGE_PREVIOUS True
 
 # late fusion (host model over the exchange DB; no checkpoint)
 late() {  # late <stagename> [extra --set pairs...]
@@ -130,5 +175,16 @@ late() {  # late <stagename> [extra --set pairs...]
 late late_sync DATA_CONFIG.EXCHANGE_SETTING now
 late late_async DATA_CONFIG.EXCHANGE_SETTING prev
 late late_async_noflow DATA_CONFIG.EXCHANGE_SETTING prev DATA_CONFIG.EXCHANGE_FLOW_PROPAGATION False
+# score-weighted box averaging in the NMS merge (late-fusion NDS lever)
+late late_sync_wnms DATA_CONFIG.EXCHANGE_SETTING now MODEL.BOX_FUSION_METHOD weighted_nms
+late late_async_wnms DATA_CONFIG.EXCHANGE_SETTING prev MODEL.BOX_FUSION_METHOD weighted_nms
+# async with ORACLE flow (predicted boxes, GT velocities): isolates
+# flow-prediction error from box/matching error in the async collapse
+late late_async_oracleflow DATA_CONFIG.EXCHANGE_SETTING prev DATA_CONFIG.EXCHANGE_ORACLE_FLOW True
 
-log "ALL DONE — grep mAP: grep -h 'mAP\|NDS' output/cfgs/v2x_sim_models/*/*/eval/log_eval_*.txt"
+# ---- 5. committed artifacts --------------------------------------------------
+run_stage export_results python workspace/collect_results.py "$TAG" --export
+run_stage export_bench_ckpt python tools/export_bench_ckpt.py \
+  --ckpt "$(ckpt_of v2x_pointpillar_basic_ego $TAG)" --out results/bench_ckpt
+
+log "ALL DONE — table: python workspace/collect_results.py $TAG"

@@ -36,10 +36,19 @@ AGENT_CFGS = {
 
 def gen_exchange_database(agent="car", ckpt=None, synthetic=False, out_dir=None,
                           splits=("train", "test"), cfg_overrides=None, logger=None,
-                          variables=None, max_batches=None):
+                          variables=None, max_batches=None,
+                          broadcast_score_thresh=None, broadcast_post_max=None):
+    """``broadcast_score_thresh`` / ``broadcast_post_max`` loosen the SENDER's
+    post-processing for the broadcast only (more, lower-confidence MoDAR
+    boxes): the ego sees the score channel and can learn to discount them —
+    the sender-recall lever for closing the lately-vs-early gap."""
     logger = logger or create_logger()
     cfg = CfgDict()
     cfg_from_yaml_file(AGENT_CFGS[agent], cfg)
+    if broadcast_score_thresh is not None:
+        cfg.MODEL.DENSE_HEAD.POST_PROCESSING["SCORE_THRESH"] = float(broadcast_score_thresh)
+    if broadcast_post_max is not None:
+        cfg.MODEL.DENSE_HEAD.POST_PROCESSING.NMS_CONFIG["NMS_POST_MAXSIZE"] = int(broadcast_post_max)
     # generation runs with augmentation + downsampling off (reference :30-34)
     cfg.DATA_CONFIG.DATA_AUGMENTOR.DISABLE_AUG_LIST = [
         c["NAME"] for c in cfg.DATA_CONFIG.DATA_AUGMENTOR.AUG_CONFIG_LIST
@@ -122,6 +131,8 @@ if __name__ == "__main__":
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--out_dir", type=str, default=None)
+    parser.add_argument("--broadcast_score_thresh", type=float, default=None)
+    parser.add_argument("--broadcast_post_max", type=int, default=None)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
                         help="DATA_CONFIG overrides as KEY VALUE pairs (e.g. "
                              "--set SYNTHETIC \"{'NUM_SCENES': 15}\")")
@@ -138,4 +149,6 @@ if __name__ == "__main__":
             except (ValueError, SyntaxError):
                 overrides[k] = v
     gen_exchange_database(args.agent, args.ckpt, args.synthetic, args.out_dir,
-                          cfg_overrides=overrides)
+                          cfg_overrides=overrides,
+                          broadcast_score_thresh=args.broadcast_score_thresh,
+                          broadcast_post_max=args.broadcast_post_max)

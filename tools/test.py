@@ -14,6 +14,8 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
@@ -122,7 +124,10 @@ def eval_single_ckpt(model, test_set, test_loader, args, cfg_, eval_dir, logger,
         import json
 
         with open(Path(eval_dir) / "metrics.json", "w") as f:
-            json.dump({k: float(v) for k, v in result_dict.items()}, f, indent=1)
+            json.dump(
+                {k: float(v) for k, v in result_dict.items()
+                 if isinstance(v, (int, float, np.floating, np.integer))},
+                f, indent=1)
     except (TypeError, ValueError, OSError) as e:
         logger.warning(f"metrics.json not written: {e}")
     return result_dict

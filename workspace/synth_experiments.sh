@@ -61,6 +61,11 @@ run_stage train_rsu python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic
   --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1
 
 # ---- 2. broadcast: exchange database over train+val --------------------------
+# exchange files are keyed by sample token, and token names overlap across
+# world configs (scene0_kf0...) — stale DBs from another world silently
+# poison the ego training, so clear them once per pipeline tag
+run_stage clean_exchange rm -rf data/v2x-sim/v2.0-trainval/exchange_database_flow \
+  data/v2x-sim/v2.0-trainval/exchange_database_loose
 run_stage gen_exchange_car python workspace/v2x_gen_exchange_database.py --agent car \
   --ckpt "$(ckpt_of v2x_pointpillar_basic_car $TAG)" --synthetic \
   --set MAX_POINTS_PER_SAMPLE "$NPTS" SYNTHETIC "$SYN" MINI_TRAINVAL_STRIDE 1

@@ -100,3 +100,53 @@ class TestDiscoNet:
             )
         )
         assert diff > 0
+
+
+class TestAsyncTrainingSignal:
+    def test_exchange_previous_displaces_training_signal(self):
+        """The mechanism behind the round-3 inverted disco sync row: with
+        EXCHANGE_PREVIOUS, a moving object seen ONLY by other agents appears
+        in the input at its t-1 position while gt_boxes supervise its t
+        position — the training signal demands a systematic +v*dt lead on
+        exchanged content. A net trained this way, evaluated on FRESH (sync)
+        exchange, overshoots moving objects by ~v*dt; matched-training per
+        latency column removes the mismatch (synth_experiments.sh)."""
+        cfg = CfgDict()
+        cfg_from_yaml_file(CFG_DISCO, cfg)
+        cfg.DATA_CONFIG.update({
+            "USE_SYNTHETIC_DATA": True, "MAX_POINTS_PER_SAMPLE": 16384,
+            "MINI_TRAINVAL_STRIDE": 1, "DATASET_DOWNSAMPLING_RATIO": 1,
+            "SYNTHETIC": {"NUM_SCENES": 3, "KEYFRAMES_PER_SCENE": 4,
+                          "NUM_CARS": 10, "NUM_PEDS": 0, "WORLD": "urban"},
+        })
+        # aug off so point/GT geometry is directly comparable
+        cfg.DATA_CONFIG.DATA_AUGMENTOR.DISABLE_AUG_LIST = [
+            c["NAME"] for c in cfg.DATA_CONFIG.DATA_AUGMENTOR.AUG_CONFIG_LIST]
+
+        def mean_offset(exchange_previous):
+            cfg.DATA_CONFIG["EXCHANGE_PREVIOUS"] = exchange_previous
+            ds, _, _ = build_dataloader(
+                cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=True,
+                logger=create_logger(), workers=0)
+            offs = []
+            for idx in range(len(ds)):
+                d = ds[idx]
+                pts, gt = d["points"], d["gt_boxes"]
+                exch = pts[pts[:, -1] != 1]  # non-ego agent points
+                for b in gt:
+                    rel = exch[:, :2] - b[:2]
+                    near = np.linalg.norm(rel, axis=1) < 3.0
+                    if near.sum() >= 5:
+                        # offset of the exchanged point cluster from the
+                        # CURRENT-time gt center
+                        offs.append(np.linalg.norm(exch[near, :2].mean(0) - b[:2]))
+            return np.mean(offs), len(offs)
+
+        off_async, n_a = mean_offset(True)
+        off_sync, n_s = mean_offset(False)
+        assert n_a >= 5 and n_s >= 5, f"too few exchanged clusters ({n_a}, {n_s})"
+        # async training data carries a systematically larger exchanged-cluster
+        # offset from current-time GT than sync data
+        assert off_async > off_sync + 0.1, (
+            f"expected stale-exchange displacement: async {off_async:.2f} "
+            f"vs sync {off_sync:.2f}")

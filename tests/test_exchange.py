@@ -208,3 +208,34 @@ class TestExchangeAblationLevers:
             d = ds[1]
             counts.append(sum(v[1] for v in d["metadata"]["exchange"].values()))
         assert min(counts) < max(counts), f"dropout never varied the exchange: {counts}"
+
+
+class TestLateFusionWeighted:
+    def test_weighted_method_fuses_cluster_geometry(self):
+        from pcp_tpu.models.detectors.v2x_late_fusion import V2XLateFusion
+        from pcp_tpu.config import CfgDict
+
+        cfg = CfgDict({
+            "BOX_FUSION_METHOD": "weighted_nms",
+            "POST_PROCESSING": {
+                "SCORE_THRESH": 0.1,
+                "NMS_CONFIG": {"NMS_THRESH": 0.2, "NMS_PRE_MAXSIZE": 100,
+                               "NMS_POST_MAXSIZE": 10},
+            },
+        })
+        model = V2XLateFusion(cfg, 1, None)
+        # same object from two agents, offset; plus one unique box
+        a = np.array([[0.0, 0.0, -1.0, 4.0, 2.0, 1.6, 0.0, 0.9, 1.0]])
+        b = np.array([[0.6, 0.0, -1.0, 4.0, 2.0, 1.6, 0.0, 0.45, 1.0],
+                      [15.0, 0.0, -1.0, 4.0, 2.0, 1.6, 0.5, 0.8, 1.0]])
+        batch = {"batch_size": 1, "metadata": [{"exchange_boxes": {1: a, 2: b}}]}
+        out = model(batch, train=False)
+        fbd = out["final_box_dicts"]
+        valid = fbd["pred_valid"][0]
+        boxes = fbd["pred_boxes"][0][valid]
+        assert valid.sum() == 2
+        # fused duplicate: x = (0.9*0 + 0.45*0.6)/1.35 = 0.2
+        i = np.argmin(np.abs(boxes[:, 0] - 0.2))
+        np.testing.assert_allclose(boxes[i, 0], 0.2, atol=1e-5)
+        # scores/labels follow the keeper
+        np.testing.assert_allclose(np.sort(fbd["pred_scores"][0][valid]), [0.8, 0.9])

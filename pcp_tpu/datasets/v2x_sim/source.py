@@ -73,13 +73,14 @@ class SyntheticV2XSource:
     GROUND_Z = -2.0
 
     def __init__(self, num_scenes=4, keyframes_per_scene=12, num_cars=24, num_peds=8, seed=0,
-                 world="open", num_parked=0):
+                 world="open", num_parked=0, visible_faces=False):
         self.num_scenes = num_scenes
         self.keyframes_per_scene = keyframes_per_scene
         self.num_cars = num_cars
         self.num_peds = num_peds
         self.world = world
         self.num_parked = num_parked
+        self.visible_faces = visible_faces
         self.seed = seed
         self.scenes: List[SceneSpec] = [
             SceneSpec(
@@ -387,7 +388,31 @@ class SyntheticV2XSource:
                 continue
             # sample on the box surface (sides + top), in box frame
             u = rng.uniform(-0.5, 0.5, size=(n, 3))
-            face = rng.integers(0, 5, size=n)
+            if self.visible_faces:
+                # Real-lidar face visibility: only sensor-facing faces return
+                # points, weighted by projected area (area x incidence
+                # cosine). Uniform all-face sampling makes a static box's
+                # cloud exactly 180-degree symmetric, so heading DIRECTION is
+                # information-theoretically unlearnable for parked cars (the
+                # reference's CARLA clouds never have this symmetry) — it
+                # caps AOE at ~pi/2 and feeds flipped headings into the
+                # MoDAR exchange.
+                c0, s0 = np.cos(heading), np.sin(heading)
+                dl = np.array([(sensor[0] - pos[0]) * c0 + (sensor[1] - pos[1]) * s0,
+                               -(sensor[0] - pos[0]) * s0 + (sensor[1] - pos[1]) * c0,
+                               sensor[2] - pos[2]])
+                dl /= max(np.linalg.norm(dl), 1e-6)
+                w = np.array([
+                    max(dl[0], 0.0) * dims[1] * dims[2],   # +x face
+                    max(-dl[0], 0.0) * dims[1] * dims[2],  # -x face
+                    max(dl[1], 0.0) * dims[0] * dims[2],   # +y face
+                    max(-dl[1], 0.0) * dims[0] * dims[2],  # -y face
+                    max(dl[2], 0.0) * dims[0] * dims[1],   # top face
+                ])
+                w = w / max(w.sum(), 1e-6)
+                face = rng.choice(5, size=n, p=w)
+            else:
+                face = rng.integers(0, 5, size=n)
             u[face == 0, 0] = 0.5
             u[face == 1, 0] = -0.5
             u[face == 2, 1] = 0.5

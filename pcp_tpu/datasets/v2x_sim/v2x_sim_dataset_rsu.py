@@ -60,6 +60,7 @@ class V2XSimDataset_RSU(DatasetTemplate):
                 seed=int(syn.get("SEED", 0)),
                 world=str(syn.get("WORLD", "open")),
                 num_parked=int(syn.get("NUM_PARKED", 0)),
+                visible_faces=bool(syn.get("VISIBLE_FACES", False)),
             )
             if logger is not None:
                 logger.info("V2X-Sim data not found -> synthetic V2X world active")

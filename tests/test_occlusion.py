@@ -73,3 +73,35 @@ def test_deterministic():
     fa = a.get_frame(ta)
     fb = b.get_frame(ta)
     np.testing.assert_array_equal(fa["points"], fb["points"])
+
+
+def test_visible_faces_break_box_symmetry():
+    """VISIBLE_FACES=True: only sensor-facing box faces return points, so a
+    static box's cloud is no longer 180-degree symmetric (heading direction
+    becomes learnable, like real lidar)."""
+    dims = np.array([4.5, 2.0, 1.7])
+    pose = np.eye(4)
+    pose[:3, 3] = [0.0, 0.0, 1.8]
+    # box 15 m ahead on +x, heading +x: its -x face (rear, facing the sensor)
+    # is at local x=-dx/2; its +x face (front, facing away) must be empty
+    box_pos = np.array([15.0, 0.0, 0.5])
+    objs = [(box_pos, 0.0, dims, "car", 0)]
+
+    for vf, expect_far_face in ((False, True), (True, False)):
+        src = SyntheticV2XSource(num_scenes=1, keyframes_per_scene=1,
+                                 visible_faces=vf)
+        scene = src.scenes[0]
+        src._agent_pose = lambda *a, **k: pose
+        pts = src._lidar_points_for_agent(scene, 0, 1, objs)
+        world = (pose[:3, :3] @ pts[:, :3].T).T + pose[:3, 3]
+        local = world - box_pos[None, :]
+        on_box = (np.abs(local[:, 0]) < dims[0] / 2 + 0.01) & \
+                 (np.abs(local[:, 1]) < dims[1] / 2 + 0.01) & \
+                 (np.abs(local[:, 2]) < dims[2] / 2 + 0.01)
+        near_face = on_box & (local[:, 0] < -dims[0] / 2 + 0.02)
+        far_face = on_box & (local[:, 0] > dims[0] / 2 - 0.02)
+        assert near_face.sum() > 3, f"vf={vf}: sensor-facing face has no points"
+        if expect_far_face:
+            assert far_face.sum() > 3, "uniform sampling should hit both faces"
+        else:
+            assert far_face.sum() == 0, "visible-face sampling hit the far face"

@@ -27,6 +27,13 @@ else
   SYN="{'NUM_SCENES': 15, 'KEYFRAMES_PER_SCENE': 12, 'NUM_CARS': 24, 'NUM_PEDS': 8, 'WORLD': 'urban', 'NUM_PARKED': 16}"
   EPOCHS_CAR=25; EPOCHS_EGO=30; TAG=${TAG_OVERRIDE:-synurb}; NPTS=32768
 fi
+# VF=1: visible-face lidar sampling (sensor-facing box faces only — heading
+# direction learnable, like real lidar). Separate default tag so the two
+# worlds' matrices stay distinct.
+if [ -n "$VF" ]; then
+  SYN="${SYN%\}}, 'VISIBLE_FACES': True}"
+  [ -z "$SMOKE" ] && TAG=${TAG_OVERRIDE:-synvf}
+fi
 
 COMMON_SET=(DATA_CONFIG.USE_SYNTHETIC_DATA True
             DATA_CONFIG.MAX_POINTS_PER_SAMPLE "$NPTS"

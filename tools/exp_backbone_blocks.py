@@ -45,8 +45,13 @@ def timed(fn, inputs, name):
     return ms
 
 
-def conv_chain(channels, n_convs, stride_first, dtype=None):
-    """A [Conv s / Conv 1]*n chain like one backbone block."""
+def conv_chain(channels, n_convs, stride_first, dtype=None, bn="bn"):
+    """A [Conv s / Conv 1]*n chain like one backbone block.
+
+    bn: 'bn' = BatchNorm(inference) like the real backbone; 'bias' = BN folded
+    into a conv bias (the inference-time BN-baking candidate); 'none' = conv
+    only (isolates whether BN is what de-rates the bf16 path).
+    """
     import flax.linen as nn
 
     class Chain(nn.Module):
@@ -54,10 +59,11 @@ def conv_chain(channels, n_convs, stride_first, dtype=None):
         def __call__(self, x):
             for k in range(n_convs):
                 x = nn.Conv(channels, (3, 3), strides=(stride_first if k == 0 else 1,) * 2,
-                            padding=((1, 1), (1, 1)), use_bias=False, dtype=dtype,
+                            padding=((1, 1), (1, 1)), use_bias=(bn == "bias"), dtype=dtype,
                             name=f"c{k}")(x)
-                x = nn.BatchNorm(use_running_average=True, momentum=0.99, epsilon=1e-3,
-                                 dtype=dtype, name=f"n{k}")(x)
+                if bn == "bn":
+                    x = nn.BatchNorm(use_running_average=True, momentum=0.99, epsilon=1e-3,
+                                     dtype=dtype, name=f"n{k}")(x)
                 x = nn.relu(x)
             return x
 
@@ -96,6 +102,22 @@ def main():
         run(conv_chain(256, 4, 2), (256, 256, 256), "block0 2x2-packed (256ch, HW/4)")
         # channel-only widening for reference: what would 128-out block0 cost
         run(conv_chain(128, 4, 2), (512, 512, 64), "block0 if 128-wide (not equivalent)")
+
+    if which in ("dtype", "all"):
+        # Why is e2e bf16 SLOWER than f32 (9.13 vs 8.85 ms)? f32 convs lower
+        # to 3-pass bf16 on the MXU (~66 TFLOP/s ceiling — exactly what the
+        # 8.85 ms backbone hits), so real bf16 should be up to ~3x. Isolate
+        # BN's role and the input-cast cost per block shape.
+        for ch, n, s, shape, tag in ((64, 4, 2, (512, 512, 64), "block0"),
+                                     (128, 6, 2, (256, 256, 64), "block1"),
+                                     (256, 6, 2, (128, 128, 128), "block2")):
+            for bn in ("bn", "bias", "none"):
+                for dt, dtag in ((None, "f32"), (jnp.bfloat16, "bf16")):
+                    run(conv_chain(ch, n, s, dtype=dt, bn=bn), shape,
+                        f"{tag} {bn:4s} {dtag}")
+        # bf16 input too (no leading cast inside the jit)
+        run(conv_chain(64, 4, 2, dtype=jnp.bfloat16, bn="bias"), (512, 512, 64),
+            "block0 bias bf16 + bf16 input", dtype=jnp.bfloat16)
 
     if which in ("e2e", "all"):
         from pcp_tpu.config import CfgDict, cfg_from_yaml_file

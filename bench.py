@@ -48,6 +48,12 @@ def main():
         v = os.environ["BENCH_PRE_REDUCE"]
         cfg.MODEL["VFE"]["PRE_REDUCE"] = v if v.lower() == "fused" else True
         rebuild = True
+    fold_bn = bool(os.environ.get("BENCH_FOLD_BN"))
+    if fold_bn:
+        # backbone BN baked into conv kernel+bias (exact; removes the f32
+        # stat round-trips that de-rate the bf16 conv stack)
+        cfg.MODEL["BACKBONE_2D"]["FOLD_BN"] = True
+        rebuild = True
     if rebuild:
         from pcp_tpu.models import build_network
         model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset_info=info)
@@ -95,6 +101,13 @@ def main():
         variables = jax.device_put(load_params_from_file(ckpt))
     else:
         variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
+    if fold_bn:
+        # a BN-trained checkpoint folds into conv kernel+bias here (jnp ops;
+        # stays on device). The no-ckpt path init'd the folded model, so
+        # there are no norm entries and this is a no-op.
+        from pcp_tpu.models.backbones_2d.base_bev_backbone import fold_bn_variables
+
+        variables = fold_bn_variables(variables)
 
     @jax.jit
     def fwd_reduce(params, batch_stats, points):

@@ -17,18 +17,20 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     dtype: Any = None  # compute dtype (params stay f32); None = f32
+    folded: bool = False  # BN baked into conv kernel+bias (inference only)
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)) if self.kernel == 3 else "VALID", use_bias=False,
+            padding=((1, 1), (1, 1)) if self.kernel == 3 else "VALID", use_bias=self.folded,
             name="conv", dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
-            dtype=self.dtype,
-        )(x)
+        if not self.folded:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
+                dtype=self.dtype,
+            )(x)
         return nn.relu(x)
 
 
@@ -36,17 +38,19 @@ class DeConvBNReLU(nn.Module):
     features: int
     stride: int  # upsample factor
     dtype: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.ConvTranspose(
             self.features, (self.stride, self.stride), strides=(self.stride, self.stride),
-            padding="VALID", use_bias=False, name="deconv", dtype=self.dtype,
+            padding="VALID", use_bias=self.folded, name="deconv", dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
-            dtype=self.dtype,
-        )(x)
+        if not self.folded:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
+                dtype=self.dtype,
+            )(x)
         return nn.relu(x)
 
 
@@ -54,18 +58,68 @@ class DownConvBNReLU(nn.Module):
     features: int
     stride: int  # downsample factor (kernel == stride)
     dtype: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(
             self.features, (self.stride, self.stride), strides=(self.stride, self.stride),
-            padding="VALID", use_bias=False, name="conv", dtype=self.dtype,
+            padding="VALID", use_bias=self.folded, name="conv", dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
-            dtype=self.dtype,
-        )(x)
+        if not self.folded:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3, name="norm",
+                dtype=self.dtype,
+            )(x)
         return nn.relu(x)
+
+
+def fold_bn_variables(variables, module_name="backbone_2d"):
+    """Bake BatchNorm into the preceding conv's kernel+bias (inference-time).
+
+    Input: full model ``variables`` trained with FOLD_BN off. Output: new
+    variables loadable by the same model built with ``FOLD_BN: True`` —
+    every ``{conv|deconv, norm}`` pair under ``module_name`` becomes a
+    biased conv with kernel scaled by gamma/sqrt(var+eps) on the
+    out-channel axis (y = scale*(conv(x)) + (beta - scale*mean), exact in
+    f32). Motivation: at inference BN is a per-channel affine that XLA
+    usually fuses, but in the bf16 path flax BatchNorm's f32 stat math
+    forces dtype round-trips between convs; folding removes the op
+    entirely (ROADMAP perf item, VERDICT r3 weak #4).
+    """
+    import jax.numpy as jnp  # noqa: F811 (host-side, tiny arrays)
+
+    params = dict(variables["params"])
+    stats_all = dict(variables.get("batch_stats", {}))
+    if module_name is None:  # variables of the standalone backbone module
+        src_params, src_stats = params, stats_all
+    else:
+        src_params, src_stats = params[module_name], stats_all.get(module_name, {})
+    sub = {k: dict(v) for k, v in src_params.items()}
+    sub_stats = src_stats
+    for blk, p in sub.items():
+        conv_key = "deconv" if "deconv" in p else ("conv" if "conv" in p else None)
+        if conv_key is None or "norm" not in p:
+            continue
+        norm = p["norm"]
+        st = sub_stats[blk]["norm"]
+        scale = norm["scale"] / jnp.sqrt(st["var"] + 1e-3)
+        kernel = p[conv_key]["kernel"] * scale  # out-channels are the last axis
+        bias = norm["bias"] - st["mean"] * scale
+        p[conv_key] = {"kernel": kernel, "bias": bias}
+        del p["norm"]
+        sub[blk] = p
+    if module_name is None:
+        params = sub
+        stats_all = {}
+    else:
+        params[module_name] = sub
+        stats_all.pop(module_name, None)
+    out = dict(variables)
+    out["params"] = params
+    if "batch_stats" in variables:
+        out["batch_stats"] = stats_all
+    return out
 
 
 class BaseBEVBackbone(nn.Module):
@@ -78,6 +132,9 @@ class BaseBEVBackbone(nn.Module):
         # BF16: True runs the conv stack in bfloat16 (params/BN stats stay
         # f32; output cast back to f32) — MXU-native inference mode
         self.dtype = jnp.bfloat16 if (self.bf16 or bool(cfg.get("BF16", False))) else None
+        # FOLD_BN: True expects fold_bn_variables()-transformed params
+        # (inference-only; BN replaced by a conv bias)
+        folded = bool(cfg.get("FOLD_BN", False))
         layer_nums = list(cfg.get("LAYER_NUMS", []))
         layer_strides = list(cfg.get("LAYER_STRIDES", []))
         num_filters = list(cfg.get("NUM_FILTERS", []))
@@ -87,21 +144,24 @@ class BaseBEVBackbone(nn.Module):
         blocks = []
         deblocks = []
         for idx in range(len(layer_nums)):
-            level = [ConvBNReLU(num_filters[idx], stride=layer_strides[idx], dtype=self.dtype, name=f"block{idx}_0")]
+            level = [ConvBNReLU(num_filters[idx], stride=layer_strides[idx], dtype=self.dtype,
+                                folded=folded, name=f"block{idx}_0")]
             for k in range(layer_nums[idx]):
-                level.append(ConvBNReLU(num_filters[idx], dtype=self.dtype, name=f"block{idx}_{k + 1}"))
+                level.append(ConvBNReLU(num_filters[idx], dtype=self.dtype, folded=folded,
+                                        name=f"block{idx}_{k + 1}"))
             blocks.append(level)
             if upsample_strides:
                 s = upsample_strides[idx]
                 if s >= 1:
                     deblocks.append(
-                        DeConvBNReLU(num_upsample_filters[idx], int(s), dtype=self.dtype, name=f"deblock{idx}")
+                        DeConvBNReLU(num_upsample_filters[idx], int(s), dtype=self.dtype,
+                                     folded=folded, name=f"deblock{idx}")
                     )
                 else:
                     deblocks.append(
                         DownConvBNReLU(
                             num_upsample_filters[idx], int(np.round(1 / s)),
-                            dtype=self.dtype, name=f"deblock{idx}",
+                            dtype=self.dtype, folded=folded, name=f"deblock{idx}",
                         )
                     )
         self.blocks = blocks
@@ -111,7 +171,8 @@ class BaseBEVBackbone(nn.Module):
             num_filters[-1] if num_filters else self.input_channels
         )
         if len(upsample_strides) > len(layer_nums):
-            self.extra_deblock = DeConvBNReLU(c_in, int(upsample_strides[-1]), dtype=self.dtype, name="deblock_extra")
+            self.extra_deblock = DeConvBNReLU(c_in, int(upsample_strides[-1]), dtype=self.dtype,
+                                              folded=folded, name="deblock_extra")
         else:
             self.extra_deblock = None
         self.num_bev_features = c_in

@@ -73,7 +73,7 @@ class SyntheticV2XSource:
     GROUND_Z = -2.0
 
     def __init__(self, num_scenes=4, keyframes_per_scene=12, num_cars=24, num_peds=8, seed=0,
-                 world="open", num_parked=0, visible_faces=False):
+                 world="open", num_parked=0, visible_faces=False, car_profile=None):
         self.num_scenes = num_scenes
         self.keyframes_per_scene = keyframes_per_scene
         self.num_cars = num_cars
@@ -81,6 +81,15 @@ class SyntheticV2XSource:
         self.world = world
         self.num_parked = num_parked
         self.visible_faces = visible_faces
+        # Sedan silhouette (hood compressed ahead of the cabin). A plain
+        # cuboid's surface cloud is EXACTLY invariant under a heading flip —
+        # even with visible-face weighting, the flipped box's sensor-facing
+        # faces are congruent rectangles landing in the same world positions
+        # (measured: flip L1 distance == resampling noise floor). So a static
+        # car's heading DIRECTION is unlearnable from shape alone unless the
+        # shape itself is front/back asymmetric, which is how real lidar
+        # disambiguates. Defaults to visible_faces so the VF world gets both.
+        self.car_profile = visible_faces if car_profile is None else car_profile
         self.seed = seed
         self.scenes: List[SceneSpec] = [
             SceneSpec(
@@ -391,12 +400,12 @@ class SyntheticV2XSource:
             if self.visible_faces:
                 # Real-lidar face visibility: only sensor-facing faces return
                 # points, weighted by projected area (area x incidence
-                # cosine). Uniform all-face sampling makes a static box's
-                # cloud exactly 180-degree symmetric, so heading DIRECTION is
-                # information-theoretically unlearnable for parked cars (the
-                # reference's CARLA clouds never have this symmetry) — it
-                # caps AOE at ~pi/2 and feeds flipped headings into the
-                # MoDAR exchange.
+                # cosine). NOTE: this alone does NOT make heading direction
+                # learnable — a plain cuboid's visible cloud is still exactly
+                # flip-symmetric (the flipped box's sensor-facing faces are
+                # congruent rectangles in the same world positions). The
+                # sedan-profile carve below (car_profile) is what breaks the
+                # 180-degree ambiguity; VF makes the self-occlusion realistic.
                 c0, s0 = np.cos(heading), np.sin(heading)
                 dl = np.array([(sensor[0] - pos[0]) * c0 + (sensor[1] - pos[1]) * s0,
                                -(sensor[0] - pos[0]) * s0 + (sensor[1] - pos[1]) * c0,
@@ -419,6 +428,14 @@ class SyntheticV2XSource:
             u[face == 3, 1] = -0.5
             u[face == 4, 2] = 0.5
             local = u * dims
+            if self.car_profile and _name == "car":
+                # carve the sedan silhouette: forward of the cabin front
+                # (x > 0.15 L) the surface compresses to hood height (65% of
+                # the box), making the cloud front/back asymmetric so heading
+                # direction is geometrically identifiable (points stay inside
+                # the GT box; eval/IoU unaffected)
+                front = local[:, 0] > 0.15 * dims[0]
+                local[front, 2] = -dims[2] / 2 + (local[front, 2] + dims[2] / 2) * 0.65
             c, s = np.cos(heading), np.sin(heading)
             world = np.stack(
                 [

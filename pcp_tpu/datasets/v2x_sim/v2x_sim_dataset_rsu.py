@@ -61,6 +61,7 @@ class V2XSimDataset_RSU(DatasetTemplate):
                 world=str(syn.get("WORLD", "open")),
                 num_parked=int(syn.get("NUM_PARKED", 0)),
                 visible_faces=bool(syn.get("VISIBLE_FACES", False)),
+                car_profile=(bool(syn["CAR_PROFILE"]) if "CAR_PROFILE" in syn else None),
             )
             if logger is not None:
                 logger.info("V2X-Sim data not found -> synthetic V2X world active")

@@ -105,3 +105,50 @@ def test_visible_faces_break_box_symmetry():
             assert far_face.sum() > 3, "uniform sampling should hit both faces"
         else:
             assert far_face.sum() == 0, "visible-face sampling hit the far face"
+
+
+def test_car_profile_breaks_heading_flip_symmetry():
+    """A plain cuboid's surface cloud is EXACTLY invariant under a heading
+    flip even with visible-face weighting (the flipped box's sensor-facing
+    faces are congruent rectangles in the same world positions) — so static
+    heading DIRECTION is unlearnable unless the shape itself is front/back
+    asymmetric. The sedan-profile carve (car_profile) provides that: the
+    theta-vs-theta+pi cloud distance must rise well above the resampling
+    noise floor, while the plain-cuboid VF world must stay AT the floor
+    (documents why visible faces alone cannot fix sender AOE)."""
+    dims = np.array([4.5, 2.0, 1.7])
+    pose = np.eye(4)
+    pose[:3, 3] = [0.0, 0.0, 1.8]
+    box_pos = np.array([15.0, 6.0, 0.5])
+
+    def cloud(heading, kf0, car_profile):
+        src = SyntheticV2XSource(num_scenes=1, keyframes_per_scene=200,
+                                 visible_faces=True, car_profile=car_profile)
+        src._agent_pose = lambda *a, **k: pose
+        objs = [(box_pos, heading, dims, "car", 0)]
+        out = []
+        for k in range(kf0, kf0 + 30):
+            pts = src._lidar_points_for_agent(src.scenes[0], 0, k, objs)
+            world = (pose[:3, :3] @ pts[:, :3].T).T + pose[:3, 3]
+            loc = world - box_pos
+            on = ((np.abs(loc[:, 0]) < dims[0] / 2 + 0.05)
+                  & (np.abs(loc[:, 1]) < dims[1] / 2 + 0.05)
+                  & (np.abs(loc[:, 2]) < dims[2] / 2 + 0.05))
+            out.append(loc[on])
+        return np.concatenate(out)
+
+    def hist(c):
+        H, _ = np.histogramdd(c, bins=(10, 6, 6),
+                              range=[[-2.5, 2.5], [-1.5, 1.5], [-1.0, 1.0]])
+        return H / max(H.sum(), 1)
+
+    for car_profile, expect_asymmetric in ((True, True), (False, False)):
+        a = cloud(0.3, 0, car_profile)
+        a2 = cloud(0.3, 100, car_profile)           # noise floor
+        b = cloud(0.3 + np.pi, 0, car_profile)      # flipped heading
+        floor = np.abs(hist(a) - hist(a2)).sum()
+        flip = np.abs(hist(a) - hist(b)).sum()
+        if expect_asymmetric:
+            assert flip > 2.0 * floor, (flip, floor)
+        else:
+            assert flip < 1.5 * floor, (flip, floor)

@@ -411,8 +411,12 @@ class SyntheticV2XSource:
                                -(sensor[0] - pos[0]) * s0 + (sensor[1] - pos[1]) * c0,
                                sensor[2] - pos[2]])
                 dl /= max(np.linalg.norm(dl), 1e-6)
+                # the sedan carve (below) compresses the front (+x) face to
+                # 65% height, so weight it by its carved area — otherwise the
+                # forward face is over-dense relative to its true surface
+                fx = 0.65 if (self.car_profile and _name == "car") else 1.0
                 w = np.array([
-                    max(dl[0], 0.0) * dims[1] * dims[2],   # +x face
+                    max(dl[0], 0.0) * dims[1] * dims[2] * fx,  # +x face (carved)
                     max(-dl[0], 0.0) * dims[1] * dims[2],  # -x face
                     max(dl[1], 0.0) * dims[0] * dims[2],   # +y face
                     max(-dl[1], 0.0) * dims[0] * dims[2],  # -y face

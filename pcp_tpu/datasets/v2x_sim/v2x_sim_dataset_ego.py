@@ -13,6 +13,7 @@ Capability match for /root/reference/pcdet/datasets/v2x_sim/v2x_sim_dataset_ego.
     label | sweep_idx, inst_idx (:161-164).
 """
 import copy
+import hashlib
 import pickle
 from pathlib import Path
 
@@ -63,8 +64,13 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
         #                          pooled flow is replaced by the matched GT
         #                          velocity: isolates flow-prediction error
         #                          from box/matching error in the async rows
-        #   EXCHANGE_DROPOUT     — p(drop each agent's broadcast) during
-        #                          training: robustness to missing agents
+        #   EXCHANGE_DROPOUT     — p(drop each agent's broadcast). Applies in
+        #                          training (robustness to missing agents) and,
+        #                          at eval, simulates lossy broadcast: how
+        #                          gracefully the trained ego degrades when a
+        #                          fraction of agent messages never arrives.
+        #                          Eval draws are deterministic per (sample,
+        #                          agent) so repeated evals are reproducible.
         self.exchange_oracle = bool(dataset_cfg.get("EXCHANGE_ORACLE", False))
         self.exchange_oracle_flow = bool(dataset_cfg.get("EXCHANGE_ORACLE_FLOW", False))
         self.exchange_dropout = float(dataset_cfg.get("EXCHANGE_DROPOUT", 0.0))
@@ -285,12 +291,18 @@ class V2XSimDataset_EGO(V2XSimDataset_CAR):
                 lidar_id = int(lidar_name.split("_")[-1])
                 if lidar_id == EGO_LIDAR_ID or lidar_id not in self._exchange_agent_ids():
                     continue
-                if (
-                    self.training
-                    and self.exchange_dropout > 0.0
-                    and self._exchange_rng.random() < self.exchange_dropout
-                ):
-                    continue
+                if self.exchange_dropout > 0.0:
+                    if self.training:
+                        drop = self._exchange_rng.random() < self.exchange_dropout
+                    else:
+                        # eval: deterministic per (sample, agent) so the lossy-
+                        # broadcast measurement is reproducible run-to-run
+                        h = hashlib.blake2b(
+                            f"{exch_token}/{lidar_id}".encode(), digest_size=8
+                        ).digest()
+                        drop = int.from_bytes(h, "little") / 2.0**64 < self.exchange_dropout
+                    if drop:
+                        continue
                 modar, n_fg = self._load_and_propagate_modar(
                     exch_token, lidar_id, propagate=use_prev and self.flow_propagation,
                     lidar_token=lidar_token,

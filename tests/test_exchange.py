@@ -209,6 +209,25 @@ class TestExchangeAblationLevers:
             counts.append(sum(v[1] for v in d["metadata"]["exchange"].values()))
         assert min(counts) < max(counts), f"dropout never varied the exchange: {counts}"
 
+    def test_exchange_dropout_eval_is_deterministic_and_lossy(self):
+        """At eval, EXCHANGE_DROPOUT simulates lossy broadcast: some agent
+        messages must be dropped, and the draw is per-(sample, agent)
+        deterministic so repeated evals of the same row are bit-identical."""
+        ds = self._ego_ds(EXCHANGE_ORACLE=True, EXCHANGE_DROPOUT=0.5)
+        ds.training = False
+        per_sample = []
+        for idx in range(min(len(ds), 6)):
+            c1 = sum(v[1] for v in ds[idx]["metadata"]["exchange"].values())
+            c2 = sum(v[1] for v in ds[idx]["metadata"]["exchange"].values())
+            assert c1 == c2, f"eval dropout not deterministic at idx {idx}: {c1} vs {c2}"
+            per_sample.append(c1)
+        ds0 = self._ego_ds(EXCHANGE_ORACLE=True)
+        ds0.training = False
+        full = [sum(v[1] for v in ds0[idx]["metadata"]["exchange"].values())
+                for idx in range(min(len(ds0), 6))]
+        assert sum(per_sample) < sum(full), (
+            f"p=0.5 eval dropout dropped nothing: {per_sample} vs full {full}")
+
 
 class TestLateFusionWeighted:
     def test_weighted_method_fuses_cluster_geometry(self):

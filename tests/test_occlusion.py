@@ -128,7 +128,10 @@ def test_car_profile_breaks_heading_flip_symmetry():
         objs = [(box_pos, heading, dims, "car", 0)]
         out = []
         for k in range(kf0, kf0 + 30):
-            pts = src._lidar_points_for_agent(src.scenes[0], 0, k, objs)
+            # vary the keyframe (not the agent id) to resample the cloud:
+            # keyframes_per_scene=200 covers kf0+30 <= 130, and lid stays 0
+            # so the draw matches a real agent-0 sample in any world mode
+            pts = src._lidar_points_for_agent(src.scenes[0], k, 0, objs)
             world = (pose[:3, :3] @ pts[:, :3].T).T + pose[:3, 3]
             loc = world - box_pos
             on = ((np.abs(loc[:, 0]) < dims[0] / 2 + 0.05)

@@ -35,6 +35,10 @@ def parse_config():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--fix_random_seed", action="store_true", default=False)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="explicit training seed (init PRNG + numpy/python RNG); "
+                             "distinct values give independent repeat runs for "
+                             "variance estimation. Overrides --fix_random_seed.")
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--ckpt_save_time_interval", type=int, default=300,
                         help="seconds between overwriting 'latest_model' snapshots")
@@ -76,9 +80,14 @@ def main():
     logger.info("**********************Start logging**********************")
     logger.info(f"devices: {jax.devices()}")
     log_config_to_file(cfg_, logger=logger)
-    seed = 666 if args.fix_random_seed else 0
-    if args.fix_random_seed:
-        set_random_seed(666)
+    if args.seed is not None:
+        seed = args.seed
+        set_random_seed(seed)
+        logger.info(f"training seed: {seed}")
+    else:
+        seed = 666 if args.fix_random_seed else 0
+        if args.fix_random_seed:
+            set_random_seed(666)
 
     train_set, train_loader, _ = build_dataloader(
         dataset_cfg=cfg_.DATA_CONFIG,

@@ -52,6 +52,17 @@ MATRIX = [
     ("lately fusion (oracle senders)", "v2x_pointpillar_basic_ego",
      {"sync": (TAG + "_oracle", "lately_oracle_sync"),
       "async": (TAG + "_oracle", "lately_oracle_async")}),
+    # eval-only oracle swap: the REAL-sender-trained ego fed the oracle
+    # exchange DB — isolates the input-side sender-quality effect from ego
+    # retraining noise (one set of ego weights, two input qualities)
+    ("lately fusion (oracle senders, eval-only swap)", "v2x_pointpillar_basic_ego",
+     {"sync": (TAG, "lately_oracleswap_sync"),
+      "async": (TAG, "lately_oracleswap_async")}),
+    # lossy-broadcast robustness: p(drop each agent's message) at eval time
+    ("lately fusion (broadcast dropout p=0.2)", "v2x_pointpillar_basic_ego",
+     {"sync": (TAG, "lately_drop02_sync"), "async": (TAG, "lately_drop02_async")}),
+    ("lately fusion (broadcast dropout p=0.5)", "v2x_pointpillar_basic_ego",
+     {"sync": (TAG, "lately_drop05_sync"), "async": (TAG, "lately_drop05_async")}),
     ("lately fusion (loose broadcast: thresh 0.03, 200 boxes)", "v2x_pointpillar_basic_ego",
      {"sync": (TAG + "_loose", "lately_loose_sync"),
       "async": (TAG + "_loose", "lately_loose_async")}),
@@ -60,6 +71,46 @@ EXTRA = [
     ("per-agent car detector (own-view GT — not comparable to rows above)",
      "v2x_pointpillar_basic_car", (TAG, "car")),
 ]
+
+# seed repeats of the pivotal pair (independent retrains; the world and eval
+# split are identical — only init/shuffle/augmentation stochasticity varies).
+# label -> (cfg, {seed_name: {column: (train_tag, eval_tag)}})
+SEED_REPEATS = [
+    ("lately fusion (MoDAR, ours)", "v2x_pointpillar_basic_ego", {
+        "base": {"sync": (TAG, "lately_sync"), "async": (TAG, "lately_async")},
+        "s101": {"sync": (TAG + "_s101", "lately_sync_s101"),
+                 "async": (TAG + "_s101", "lately_async_s101")},
+        "s202": {"sync": (TAG + "_s202", "lately_sync_s202"),
+                 "async": (TAG + "_s202", "lately_async_s202")},
+    }),
+    ("early fusion", "v2x_pointpillar_basic_ego_early", {
+        "base": {"sync": (TAG + "_sync", "early_sync")},
+        "s101": {"sync": (TAG + "_sync_s101", "early_sync_s101")},
+        "s202": {"sync": (TAG + "_sync_s202", "early_sync_s202")},
+    }),
+]
+
+
+def seed_spread_lines():
+    """mean ± half-range over available seed repeats, per column."""
+    out = []
+    for label, cfg, seeds in SEED_REPEATS:
+        cols = {}
+        for sname, colmap in seeds.items():
+            for col, (tt, et) in colmap.items():
+                r = read_results(cfg, tt, et)
+                if r is not None:
+                    cols.setdefault(col, []).append((sname, 100 * r[0]))
+        for col, vals in sorted(cols.items()):
+            if len(vals) < 2:
+                continue
+            xs = [v for _, v in vals]
+            mean = sum(xs) / len(xs)
+            half = (max(xs) - min(xs)) / 2
+            detail = ", ".join(f"{s}={v:.1f}" for s, v in vals)
+            out.append(f"- {label} [{col}]: mAP {mean:.1f} ± {half:.1f} "
+                       f"(n={len(xs)}: {detail})")
+    return out
 
 
 def _eval_dir(cfg, train_tag, eval_tag):
@@ -128,6 +179,10 @@ def main():
             f"{fmt(res.get('async w/o flow'))} | "
             f"{'—' if sync is None else f'{100*sync[1]:.1f}'} | "
             f"{'—' if sync is None else f'{sync[2]:.2f}'} |")
+    spread = seed_spread_lines()
+    if spread:
+        lines += ["", "Seed repeats (mean ± half-range over independent retrains):"]
+        lines += spread
     print("\n".join(lines))
     print()
     for label, cfg, (tag, etag) in EXTRA:
@@ -145,6 +200,10 @@ def main():
                     _export_row(out_root, cfg, spec[0], spec[1])
         for label, cfg, (tag, etag) in EXTRA:
             _export_row(out_root, cfg, tag, etag)
+        for label, cfg, seeds in SEED_REPEATS:
+            for colmap in seeds.values():
+                for tt, et in colmap.values():
+                    _export_row(out_root, cfg, tt, et)
         (out_root / "matrix.md").write_text("\n".join(lines) + "\n")
         with open(out_root / "matrix.json", "w") as f:
             json.dump(table, f, indent=1)

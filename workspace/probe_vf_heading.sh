@@ -34,6 +34,13 @@ COMMON_SET=(DATA_CONFIG.USE_SYNTHETIC_DATA True
             OPTIMIZATION.LR 0.003)
 
 CKPT=$(ls -d output/cfgs/v2x_sim_models/v2x_pointpillar_basic_car/$TAG/ckpt/checkpoint_epoch_* 2>/dev/null | sort -V | tail -1)
+# only reuse a finished run at THIS probe's budget — a checkpoint from an
+# interrupted run or a shorter EPOCHS fast check must not masquerade as the
+# full probe result (train.py itself resumes mid-run checkpoints)
+if [ -n "$CKPT" ] && [ "${CKPT##*_}" -lt "$EPOCHS" ]; then
+  echo "found checkpoint_epoch_${CKPT##*_} < EPOCHS=$EPOCHS — resuming training"
+  CKPT=""
+fi
 if [ -z "$CKPT" ]; then
   python tools/train.py --cfg_file $CFG --batch_size 4 --epochs $EPOCHS \
     --extra_tag $TAG --num_epochs_to_eval 0 \

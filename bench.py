@@ -54,6 +54,14 @@ def main():
         # stat round-trips that de-rate the bf16 conv stack)
         cfg.MODEL["BACKBONE_2D"]["FOLD_BN"] = True
         rebuild = True
+    wpack = os.environ.get("BENCH_WPACK", "") not in ("", "0", "false")
+    if wpack:
+        # width-pack narrow (64ch) backbone levels onto full MXU lanes
+        # (exact structured-kernel transform, tests/test_wpack.py; measured
+        # block0 5.44 -> ~2.x ms, tools/exp_backbone_blocks.py variants).
+        # BENCH_WPACK=0 opts out.
+        cfg.MODEL["BACKBONE_2D"]["W_PACK"] = True
+        rebuild = True
     if rebuild:
         from pcp_tpu.models import build_network
         model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset_info=info)

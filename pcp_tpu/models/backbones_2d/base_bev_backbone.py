@@ -122,6 +122,107 @@ def fold_bn_variables(variables, module_name="backbone_2d"):
     return out
 
 
+def _wpack_levels(cfg):
+    """Level indices eligible for width-packing under ``W_PACK: True``.
+
+    Mechanism (ROADMAP perf item, VERDICT r4 #4): convs with <=64 output
+    channels half-fill the 128-wide MXU and measure ~28 TFLOP/s effective vs
+    ~113 at 128ch (tools/exp_backbone_blocks.py, block0 5.44 ms of the 9 ms
+    backbone). Folding W-pairs into channels doubles the MAC count (the
+    structured packed kernel is half zeros, executed dense) but runs at the
+    efficient width — a net win when the narrow conv runs below half the
+    wide conv's efficiency, which block0 does by ~4x.
+    """
+    if not cfg.get("W_PACK", False):
+        return set()
+    nf = list(cfg.get("NUM_FILTERS", []))
+    st = list(cfg.get("LAYER_STRIDES", []))
+    return {i for i in range(len(nf)) if nf[i] <= 64 and st[i] in (1, 2)}
+
+
+def _pack_kernel(W, strided):
+    """(3,3,Ci,Co) conv kernel -> (3,3,2Ci,2Co) W-packed structured kernel.
+
+    Packed layout: channel blocks [w-even | w-odd] (a free reshape of NHWC:
+    (B,H,W,C)->(B,H,W/2,2C)). The packed conv reproduces the original conv
+    EXACTLY (zeros elsewhere make the extra taps inert; the packed pad
+    column's even slot is never read because its kernel entries are zero).
+    ``strided`` selects the stride-2 tap pattern for the block's first conv.
+    """
+    import numpy as _np
+
+    W = _np.asarray(W)
+    kh, kw, ci, co = W.shape
+    assert (kh, kw) == (3, 3), f"W_PACK supports 3x3 kernels, got {(kh, kw)}"
+    K = _np.zeros((3, 3, 2 * ci, 2 * co), W.dtype)
+    # even-parity outputs: identical pattern for s1 and s2
+    K[:, 0, ci:, :co] = W[:, 0]   # x[2j-1] = (j-1, odd)
+    K[:, 1, :ci, :co] = W[:, 1]   # x[2j]   = (j, even)
+    K[:, 1, ci:, :co] = W[:, 2]   # x[2j+1] = (j, odd)
+    if strided:
+        # y[2J+1] taps x[4J+1..4J+3] = (2J,odd),(2J+1,even),(2J+1,odd)
+        K[:, 1, ci:, co:] = W[:, 0]
+        K[:, 2, :ci, co:] = W[:, 1]
+        K[:, 2, ci:, co:] = W[:, 2]
+    else:
+        # y[2j+1] taps x[2j..2j+2] = (j,even),(j,odd),(j+1,even)
+        K[:, 1, :ci, co:] = W[:, 0]
+        K[:, 1, ci:, co:] = W[:, 1]
+        K[:, 2, :ci, co:] = W[:, 2]
+    return K
+
+
+def w_pack_variables(variables, model_cfg, module_name="backbone_2d"):
+    """Transform standard-trained backbone weights into ``W_PACK: True`` form.
+
+    Same deployment pattern as :func:`fold_bn_variables`: train with the flag
+    off, transform once at load time, run the packed module for inference.
+    Kernels become structured (3,3,2Ci,2Co); per-channel BN affines / stats
+    (or folded conv biases) tile x2 because both parity blocks carry the same
+    original channels. Exact in f32 (differential-tested)."""
+    import numpy as _np
+
+    packed = _wpack_levels(model_cfg)
+    if not packed:
+        return variables
+    layer_nums = list(model_cfg.get("LAYER_NUMS", []))
+    layer_strides = list(model_cfg.get("LAYER_STRIDES", []))
+
+    def tile(v):
+        return _np.concatenate([_np.asarray(v), _np.asarray(v)], axis=0)
+
+    out = {k: dict(v) for k, v in variables.items()}
+    for col in ("params", "batch_stats"):
+        if col not in out:
+            continue
+        tree = out[col] if module_name is None else out[col].get(module_name, {})
+        tree = {k: v for k, v in tree.items()}
+        for idx in packed:
+            for k in range(layer_nums[idx] + 1):
+                blk = f"block{idx}_{k}"
+                if blk not in tree:
+                    continue
+                p = {kk: dict(vv) for kk, vv in tree[blk].items()}
+                if "conv" in p:
+                    q = dict(p["conv"])
+                    if "kernel" in q:
+                        q["kernel"] = _pack_kernel(
+                            q["kernel"], strided=(k == 0 and layer_strides[idx] == 2))
+                    if "bias" in q:  # folded-BN conv
+                        q["bias"] = tile(q["bias"])
+                    p["conv"] = q
+                if "norm" in p:
+                    p["norm"] = {kk: tile(vv) for kk, vv in p["norm"].items()}
+                tree[blk] = p
+        if module_name is None:
+            out[col] = tree
+        else:
+            new_col = dict(out[col])
+            new_col[module_name] = tree
+            out[col] = new_col
+    return out
+
+
 class BaseBEVBackbone(nn.Module):
     model_cfg: Any
     input_channels: int
@@ -141,14 +242,20 @@ class BaseBEVBackbone(nn.Module):
         upsample_strides = list(cfg.get("UPSAMPLE_STRIDES", []))
         num_upsample_filters = list(cfg.get("NUM_UPSAMPLE_FILTERS", []))
 
+        # W_PACK: True — inference-only MXU-width fix for narrow (<=64ch)
+        # levels: run the level's convs on a (H, W/2, 2C) width-packed layout
+        # with structured kernels (exact math; see w_pack_variables). Load
+        # standard weights through w_pack_variables(); training asserts off.
+        self.packed_levels = _wpack_levels(cfg)
         blocks = []
         deblocks = []
         for idx in range(len(layer_nums)):
-            level = [ConvBNReLU(num_filters[idx], stride=layer_strides[idx], dtype=self.dtype,
-                                folded=folded, name=f"block{idx}_0")]
+            mult = 2 if idx in self.packed_levels else 1
+            level = [ConvBNReLU(num_filters[idx] * mult, stride=layer_strides[idx],
+                                dtype=self.dtype, folded=folded, name=f"block{idx}_0")]
             for k in range(layer_nums[idx]):
-                level.append(ConvBNReLU(num_filters[idx], dtype=self.dtype, folded=folded,
-                                        name=f"block{idx}_{k + 1}"))
+                level.append(ConvBNReLU(num_filters[idx] * mult, dtype=self.dtype,
+                                        folded=folded, name=f"block{idx}_{k + 1}"))
             blocks.append(level)
             if upsample_strides:
                 s = upsample_strides[idx]
@@ -181,8 +288,17 @@ class BaseBEVBackbone(nn.Module):
         x = batch["spatial_features"]
         ups = []
         for i, level in enumerate(self.blocks):
+            packed = i in self.packed_levels
+            if packed:
+                assert not train, "W_PACK is inference-only (BN stats are per-channel)"
+                b, h, w, c = x.shape
+                assert w % 2 == 0, f"W_PACK needs even W, got {w}"
+                x = x.reshape(b, h, w // 2, 2 * c)
             for layer in level:
                 x = layer(x, train=train)
+            if packed:
+                b, h, wp, cp = x.shape
+                x = x.reshape(b, h, wp, 2, cp // 2).reshape(b, h, wp * 2, cp // 2)
             ups.append(self.deblocks[i](x, train=train) if self.deblocks else x)
 
         if len(ups) > 1:

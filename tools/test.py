@@ -90,6 +90,14 @@ def eval_single_ckpt(model, test_set, test_loader, args, cfg_, eval_dir, logger,
         if ckpt is not None:
             variables = load_params_from_file(ckpt)
             logger.info(f"loaded checkpoint {ckpt}")
+            bb_cfg = cfg_.MODEL.get("BACKBONE_2D", {})
+            if bb_cfg.get("W_PACK", False):
+                # standard-trained weights -> width-packed structured kernels
+                # (exact inference-time MXU-layout transform, tests/test_wpack.py)
+                from pcp_tpu.models.backbones_2d.base_bev_backbone import w_pack_variables
+
+                variables = w_pack_variables(variables, bb_cfg)
+                logger.info("W_PACK: width-packed narrow backbone levels")
         else:
             logger.warning("no checkpoint given -> random init (smoke mode)")
             example = next(iter(test_loader))

@@ -79,6 +79,9 @@ if __name__ == "__main__":
     parser.add_argument("--set", dest="set_pairs", nargs="*", default=[],
                         help="DATA_CONFIG key/value override pairs (literal-eval), "
                              "e.g. --set SYNTHETIC \"{'WORLD': 'urban'}\"")
+    parser.add_argument("--json", default=None,
+                        help="also write the measurements to this JSON file "
+                             "(committed artifact: the README bandwidth column)")
     args = parser.parse_args()
     overrides = {"USE_SYNTHETIC_DATA": True} if args.synthetic else {}
     if args.set_pairs:
@@ -92,7 +95,18 @@ if __name__ == "__main__":
                 overrides[k] = v
     overrides = overrides or None
     late_mb, lately_mb = measure_lately(overrides)
-    print(f"early fusion:  {measure_early(overrides):.3f} MB/sample")
+    early_mb, mid_mb = measure_early(overrides), measure_mid()
+    print(f"early fusion:  {early_mb:.3f} MB/sample")
     print(f"late fusion:   {late_mb:.4f} MB/sample")
     print(f"lately fusion: {lately_mb:.4f} MB/sample")
-    print(f"mid (Disco):   {measure_mid():.2f} MB/sample")
+    print(f"mid (Disco):   {mid_mb:.2f} MB/sample")
+    if args.json:
+        import json
+
+        Path(args.json).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.json, "w") as f:
+            json.dump({"early_MB": round(early_mb, 4), "late_MB": round(late_mb, 5),
+                       "lately_MB": round(lately_mb, 5), "mid_disco_MB": round(mid_mb, 3),
+                       "protocol": "ref workspace/measure_exchange_size.py:15-96; "
+                                   "mid = one agent's 384ch stride-4 bev_img"}, f, indent=1)
+        print(f"wrote {args.json}")

@@ -136,6 +136,11 @@ late late_async_wnms DATA_CONFIG.EXCHANGE_SETTING prev MODEL.BOX_FUSION_METHOD w
 # flow-prediction error from box/matching error in the async collapse
 late late_async_oracleflow DATA_CONFIG.EXCHANGE_SETTING prev DATA_CONFIG.EXCHANGE_ORACLE_FLOW True
 
+# bandwidth column artifact (host-only; needs the exchange DB, nothing else)
+run_stage measure_bandwidth python workspace/measure_exchange_size.py --synthetic \
+  --json "results/$TAG/bandwidth.json" \
+  --set MAX_POINTS_PER_SAMPLE "$NPTS" SYNTHETIC "$SYN" MINI_TRAINVAL_STRIDE 1
+
 # bank the headline immediately (re-exported with more rows at the end)
 python workspace/collect_results.py "$TAG" --export || true
 

@@ -188,8 +188,19 @@ def main():
     for label, cfg, (tag, etag) in EXTRA:
         r = read_results(cfg, tag, etag)
         if r is not None:
-            print(f"{label}: mAP {100*r[0]:.1f}, NDS[ATE,ASE,AOE] {100*r[1]:.1f}, "
-                  f"recall@0.3 {r[2]:.2f}")
+            line = (f"{label}: mAP {100*r[0]:.1f}, NDS[ATE,ASE,AOE] {100*r[1]:.1f}, "
+                    f"recall@0.3 {r[2]:.2f}")
+            mj = _eval_dir(cfg, tag, etag) / "metrics.json"
+            if mj.exists():
+                m = json.load(open(mj))
+                if "car_AOE" in m:
+                    # the round-4 mechanism metric: heading error of the
+                    # sender detector (1.596 = random on the flip-symmetric
+                    # world; the VF+car_profile fix should drop it to the
+                    # single-agent ~0.59 scale)
+                    line += (f", ATE {m.get('car_ATE', float('nan')):.3f}"
+                             f", AOE {m['car_AOE']:.3f}")
+            print(line)
 
     if EXPORT:
         out_root = ROOT / "results" / TAG

@@ -141,6 +141,22 @@ run_stage measure_bandwidth python workspace/measure_exchange_size.py --syntheti
   --json "results/$TAG/bandwidth.json" \
   --set MAX_POINTS_PER_SAMPLE "$NPTS" SYNTHETIC "$SYN" MINI_TRAINVAL_STRIDE 1
 
+# ---- 1e. cheap decisive evals (no extra training) ---------------------------
+# oracle-senders EVAL-ONLY swap on the real-sender-trained ego: isolates the
+# input-side sender-quality effect from ego retraining noise (VERDICT r4 #6)
+ev lately_oracleswap_sync v2x_pointpillar_basic_ego "$TAG" \
+  DATA_CONFIG.EXCHANGE_ORACLE True DATA_CONFIG.EXCHANGE_NOW True
+ev lately_oracleswap_async v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_ORACLE True
+
+# lossy-broadcast robustness (VERDICT r4 #7): eval-time EXCHANGE_DROPOUT
+# simulates agents whose messages never arrive (deterministic per sample)
+ev lately_drop02_sync v2x_pointpillar_basic_ego "$TAG" \
+  DATA_CONFIG.EXCHANGE_NOW True DATA_CONFIG.EXCHANGE_DROPOUT 0.2
+ev lately_drop02_async v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_DROPOUT 0.2
+ev lately_drop05_sync v2x_pointpillar_basic_ego "$TAG" \
+  DATA_CONFIG.EXCHANGE_NOW True DATA_CONFIG.EXCHANGE_DROPOUT 0.5
+ev lately_drop05_async v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_DROPOUT 0.5
+
 # bank the headline immediately (re-exported with more rows at the end)
 python workspace/collect_results.py "$TAG" --export || true
 
@@ -170,12 +186,6 @@ run_stage train_single python tools/train.py --cfg_file $CFGS/v2x_pointpillar_ba
   --set "${COMMON_SET[@]}" DATA_CONFIG.DATASET_DOWNSAMPLING_RATIO 1 DATA_CONFIG.EXCHANGE_MODAR False
 ev single v2x_pointpillar_basic_ego "${TAG}_nocollab" DATA_CONFIG.EXCHANGE_MODAR False
 
-# oracle-senders EVAL-ONLY swap on the real-sender-trained ego: isolates the
-# input-side sender-quality effect from ego retraining noise (VERDICT r4 #6)
-ev lately_oracleswap_sync v2x_pointpillar_basic_ego "$TAG" \
-  DATA_CONFIG.EXCHANGE_ORACLE True DATA_CONFIG.EXCHANGE_NOW True
-ev lately_oracleswap_async v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_ORACLE True
-
 # lately with ORACLE senders (GT boxes + exact constant-velocity flow),
 # matched training: upper-bounds lately fusion given perfect sender detectors
 run_stage train_ego_oracle python tools/train.py --cfg_file $CFGS/v2x_pointpillar_basic_ego.yaml \
@@ -184,15 +194,6 @@ run_stage train_ego_oracle python tools/train.py --cfg_file $CFGS/v2x_pointpilla
 ev lately_oracle_sync v2x_pointpillar_basic_ego "${TAG}_oracle" \
   DATA_CONFIG.EXCHANGE_ORACLE True DATA_CONFIG.EXCHANGE_NOW True
 ev lately_oracle_async v2x_pointpillar_basic_ego "${TAG}_oracle" DATA_CONFIG.EXCHANGE_ORACLE True
-
-# lossy-broadcast robustness (VERDICT r4 #7): eval-time EXCHANGE_DROPOUT
-# simulates agents whose messages never arrive (deterministic per sample)
-ev lately_drop02_sync v2x_pointpillar_basic_ego "$TAG" \
-  DATA_CONFIG.EXCHANGE_NOW True DATA_CONFIG.EXCHANGE_DROPOUT 0.2
-ev lately_drop02_async v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_DROPOUT 0.2
-ev lately_drop05_sync v2x_pointpillar_basic_ego "$TAG" \
-  DATA_CONFIG.EXCHANGE_NOW True DATA_CONFIG.EXCHANGE_DROPOUT 0.5
-ev lately_drop05_async v2x_pointpillar_basic_ego "$TAG" DATA_CONFIG.EXCHANGE_DROPOUT 0.5
 
 python workspace/collect_results.py "$TAG" --export || true
 

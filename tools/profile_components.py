@@ -48,7 +48,7 @@ def main():
 
     sys.path.insert(0, ".")
     stages = sys.argv[1:] or [
-        "sort", "scan4", "scan64max", "pallas", "pfn", "backbone",
+        "sort", "scan4", "scan64max", "pallas", "pfn", "backbone", "backbone_wpack",
         "headconv", "decode", "nms", "vfe_full",
     ]
 
@@ -138,6 +138,19 @@ def main():
         v = bb.init(jax.random.PRNGKey(0), {"spatial_features": jnp.asarray(bev[0]), "batch_size": BATCH}, train=False)
         f = jax.jit(lambda x: bb.apply(v, {"spatial_features": x, "batch_size": BATCH}, train=False)["spatial_features_2d"])
         timed(f, [(jnp.asarray(bev[i]),) for i in range(2)], "BEV backbone 512x512x64")
+
+    if "backbone_wpack" in stages:
+        from pcp_tpu.config import CfgDict, cfg_from_yaml_file
+        from pcp_tpu.models.backbones_2d.base_bev_backbone import BaseBEVBackbone
+
+        cfg = CfgDict()
+        cfg_from_yaml_file("tools/cfgs/v2x_sim_models/v2x_pointpillar_basic_ego.yaml", cfg)
+        cfg.MODEL.BACKBONE_2D["W_PACK"] = True
+        bb = BaseBEVBackbone(model_cfg=cfg.MODEL.BACKBONE_2D, input_channels=64)
+        bev = rng.normal(0, 1, size=(2, BATCH, GRID, GRID, 64)).astype(np.float32)
+        v = bb.init(jax.random.PRNGKey(0), {"spatial_features": jnp.asarray(bev[0]), "batch_size": BATCH}, train=False)
+        f = jax.jit(lambda x: bb.apply(v, {"spatial_features": x, "batch_size": BATCH}, train=False)["spatial_features_2d"])
+        timed(f, [(jnp.asarray(bev[i]),) for i in range(2)], "BEV backbone 512x512x64 W_PACK")
 
     if "backbone_bf16" in stages:
         from pcp_tpu.config import CfgDict, cfg_from_yaml_file

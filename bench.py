@@ -32,12 +32,19 @@ ITERS = 32
 
 
 def main():
+    import os
+    # persistent compile cache: tunnel compiles of the b8 pipeline run 4-25
+    # minutes; the experiment pipeline and prior bench runs share this dir
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "output", "jax_cache"),
+    )
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
     from __graft_entry__ import _build, CFG_EGO
 
-    import os
     cfg, info, model = _build(CFG_EGO)
     rebuild = False
     if os.environ.get("BENCH_BF16"):
@@ -116,6 +123,13 @@ def main():
         from pcp_tpu.models.backbones_2d.base_bev_backbone import fold_bn_variables
 
         variables = fold_bn_variables(variables)
+    if wpack and ckpt:
+        # standard-trained ckpt -> width-packed structured kernels (exact;
+        # same load-time transform as tools/test.py). The no-ckpt path init'd
+        # the packed module directly, so only the ckpt path transforms.
+        from pcp_tpu.models.backbones_2d.base_bev_backbone import w_pack_variables
+
+        variables = w_pack_variables(variables, cfg.MODEL["BACKBONE_2D"])
 
     @jax.jit
     def fwd_reduce(params, batch_stats, points):
